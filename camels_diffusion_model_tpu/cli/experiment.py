@@ -1,0 +1,643 @@
+"""Unified experiment runner for the whole train_diffusion_* family.
+
+One trainer + evaluation suite parameterized by :class:`ModeSpec` replaces
+the reference's nine copy-per-experiment scripts (SURVEY §0) while preserving
+their observable contracts: output directory naming, artifact files, log-line
+formats, and CLI (SURVEY §2.7).  Mapping of the major phases to the reference:
+
+* data prep               -> train_diffusion_paper.py:221-288
+* eval-image selection    -> :293-316
+* training loop           -> :339-383 (jitted step, on-device RNG)
+* periodic eval           -> :386-474 (val MSE, ELBO/BPD, NLL subsets)
+* checkpoints             -> :476-478 (+ full resumable state, new)
+* training metrics plot   -> :495-546
+* reconstruction          -> :772-858
+* parameter grid          -> :913-1006
+* CFG guidance sweep      -> :1008-1105
+* parameter sensitivity   -> :1107-1215 (batched into ONE sampler call here)
+* uncond mean correction  -> train_diffusion.py:238-295
+* recon power spectra     -> train_diffusion_spectrum_indiv.py:745-769
+
+TPU-native changes called out inline: device-resident lax.scan sampling, fused
+CFG, batched sensitivity/NLL evaluation (the reference runs thousands of tiny
+forward passes), data-parallel sharding when a mesh is provided.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ExperimentConfig
+from ..data import batch_iterator, load_camels_dataset, synthetic_camels
+from ..data.pipeline import num_batches
+from ..diffusion import (
+    calculate_elbo_and_bpd,
+    calculate_likelihood,
+    make_schedule,
+    q_sample,
+    sample_ddpm,
+    sample_ddpm_from_noise,
+)
+from ..diffusion.likelihood import (
+    elbo_bpd_batch,
+    elbo_per_batch,
+    elbo_timesteps,
+    nll_batch,
+)
+from ..models import ContextUnet
+from ..ops.spectrum import compare_power_spectra_stats
+from ..ops.stats import compare_pdf_stats
+from ..training import (
+    create_train_state,
+    load_train_checkpoint,
+    make_eval_step,
+    make_train_step,
+    save_model_weights,
+    save_train_checkpoint,
+)
+from ..utils import RunLogger, viz
+
+
+def _load_raw_data(cfg: ExperimentConfig):
+    """Load the real .npy inputs, or fall back to synthetic stand-ins."""
+    if os.path.exists(cfg.maps_path) and os.path.exists(cfg.params_path):
+        maps = np.load(cfg.maps_path)
+        params = np.load(cfg.params_path)
+        source = "real"
+    elif cfg.synthetic_fallback:
+        maps, params = synthetic_camels(
+            n_param_sets=cfg.synthetic_param_sets,
+            maps_per_set=15,
+            size=cfg.data_size,
+            seed=cfg.seed,
+        )
+        source = "synthetic"
+    else:
+        raise FileNotFoundError(
+            f"data files not found: {cfg.maps_path} / {cfg.params_path}"
+        )
+    if cfg.max_maps is not None and maps.shape[0] > cfg.max_maps:
+        n_sets = max(1, cfg.max_maps // 15)
+        maps = maps[: n_sets * 15]
+        params = params[:n_sets]
+    return maps, params, source
+
+
+def _subset_batches(x, c, n, batch_size, rng):
+    """Random-subset loader like the reference's Subset+DataLoader
+    (train_diffusion_paper.py:413-415, shuffle=False after selection)."""
+    idx = rng.choice(x.shape[0], size=min(n, x.shape[0]), replace=False)
+    xs, cs = x[idx], c[idx]
+    return list(batch_iterator(xs, cs, batch_size, shuffle=False))
+
+
+def _sample_metrics(model, variables, schedule, x, c, key, batch_size, dims):
+    """ELBO/BPD/NLL of a generated sample set, batched on device
+    (replaces the reference's per-batch temp-dataloader dance,
+    train_diffusion_paper.py:808-858)."""
+    batches = list(batch_iterator(np.asarray(x), np.asarray(c), batch_size, shuffle=False))
+    k1, k2 = jax.random.split(key)
+    elbo, bpd = calculate_elbo_and_bpd(
+        model, variables, schedule, batches, k1, dims=dims, batch_size=batch_size
+    )
+    nll = calculate_likelihood(
+        model, variables, schedule, batches, k2, batch_size=batch_size
+    )
+    return elbo, bpd, nll
+
+
+def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
+    spec = cfg.spec
+    output_dir = cfg.output_dir()
+    save_dir = os.path.join(output_dir, "weights")
+    os.makedirs(save_dir, exist_ok=True)
+    os.makedirs(output_dir, exist_ok=True)
+
+    logger = RunLogger(output_dir)
+    if spec.timing_log:
+        logger.write_header(
+            cfg.lrate,
+            cfg.n_epoch,
+            cfg.timesteps,
+            None if not spec.conditional else (
+                cfg.param_index if spec.param_index_mode else cfg.num_params
+            ),
+        )
+
+    schedule = make_schedule(cfg.timesteps, cfg.beta1, cfg.beta2)
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+    # ---- data -------------------------------------------------------------
+    raw_maps, raw_params, data_source = _load_raw_data(cfg)
+    test_size = min(cfg.test_size, max(raw_maps.shape[0] // 10, 1))
+    ds = load_camels_dataset(
+        raw_maps,
+        raw_params,
+        num_params=cfg.num_params,
+        height=cfg.height,
+        test_size=test_size,
+        seed=cfg.seed,
+        param_index=cfg.param_index if spec.param_index_mode else None,
+    )
+    del raw_maps
+
+    if spec.conditional:
+        np.save(os.path.join(output_dir, "param_min.npy"), ds.param_min)
+        np.save(os.path.join(output_dir, "param_max.npy"), ds.param_max)
+        if spec.param_index_mode:
+            np.save(os.path.join(output_dir, "param_index.npy"), cfg.param_index)
+        logger.dataset_info(ds.info)
+
+    # ---- model + optimizer ------------------------------------------------
+    model = ContextUnet(
+        in_channels=1,
+        n_feat=cfg.n_feat,
+        n_cfeat=cfg.n_cfeat,
+        height=cfg.height,
+        levels=2,
+        dtype=dtype,
+    )
+    root_key = jax.random.PRNGKey(cfg.seed)
+    init_key, train_key, eval_key, sample_key = jax.random.split(root_key, 4)
+    variables = model.init(
+        init_key,
+        np.zeros((1, cfg.height, cfg.height, 1), np.float32),
+        np.array([0.5], np.float32),
+    )
+    steps_per_epoch = num_batches(ds.n_train, cfg.batch_size)
+    state = create_train_state(
+        model, variables, cfg.lrate, cfg.n_epoch, steps_per_epoch
+    )
+    train_step = make_train_step(model, cfg.timesteps)
+    eval_step = make_eval_step(model, cfg.timesteps)
+
+    start_epoch = 0
+    ckpt_path = os.path.join(save_dir, "train_state.msgpack")
+    if cfg.resume and os.path.exists(ckpt_path):
+        state, start_epoch, train_key = load_train_checkpoint(state, ckpt_path)
+        print(f"Resumed from epoch {start_epoch}")
+
+    # ---- eval image selection (train_diffusion_paper.py:293-316) ----------
+    sel_rng = np.random.default_rng(cfg.seed + 1)
+    if spec.conditional:
+        sel_idx = sel_rng.choice(ds.n_test, size=min(cfg.n_eval_images, ds.n_test), replace=False)
+        selected_images = ds.test_x[sel_idx]
+        selected_params = ds.test_c[sel_idx]
+        viz.save_image_grid(selected_images, os.path.join(output_dir, "test_images.png"))
+        logger.selected_params(selected_params)
+    else:
+        all_x = np.concatenate([ds.train_x, ds.test_x])
+        sel_idx = sel_rng.choice(all_x.shape[0], size=cfg.n_eval_images, replace=False)
+        selected_images = all_x[sel_idx]
+        selected_params = np.zeros((cfg.n_eval_images, cfg.n_cfeat), np.float32)
+        viz.save_image_grid(
+            selected_images, os.path.join(output_dir, "processed_images.png")
+        )
+    processed_images_mean = float(selected_images.mean())
+
+    # ---- training loop ----------------------------------------------------
+    loss_log: List[float] = []
+    val_loss_log: List[float] = []
+    likelihood_log: List[float] = []
+    val_likelihood_log: List[float] = []
+    elbo_log: List[float] = []
+    bpd_log: List[float] = []
+    val_elbo_log: List[float] = []
+    val_bpd_log: List[float] = []
+    epoch_times: List[float] = []
+    epoch_rng = np.random.default_rng(cfg.seed + 2)
+    eval_np_rng = np.random.default_rng(cfg.seed + 3)
+    dims = cfg.height * cfg.height
+
+    training_start = time.time()
+    for ep in range(start_epoch, cfg.n_epoch):
+        ep_start = time.time()
+        epoch_loss = 0.0
+        epoch_elbo = 0.0
+        epoch_bpd = 0.0
+        n_b = 0
+        for bx, bc in batch_iterator(
+            ds.train_x, ds.train_c, cfg.batch_size, rng=epoch_rng
+        ):
+            train_key, step_key = jax.random.split(train_key)
+            state, metrics = train_step(state, bx, bc, step_key)
+            epoch_loss += float(metrics["loss"])
+            if spec.per_batch_elbo:
+                e = float(
+                    elbo_per_batch(
+                        schedule.beta,
+                        schedule.alpha_bar,
+                        metrics["per_sample_mse"],
+                        metrics["t"],
+                    )
+                )
+                epoch_elbo += e
+                epoch_bpd += e / (dims * np.log(2.0))
+            n_b += 1
+        epoch_loss /= n_b
+        loss_log.append(epoch_loss)
+        epoch_times.append(time.time() - ep_start)
+
+        if spec.timing_log:
+            if spec.per_batch_elbo:
+                logger.append(
+                    f"Epoch {ep + 1}/{cfg.n_epoch} completed in "
+                    f"{epoch_times[-1]:.2f} seconds\n"
+                    f"  Training Loss: {epoch_loss:.6f}, "
+                    f"ELBO: {epoch_elbo / n_b:.6f}, BPD: {epoch_bpd / n_b:.6f}\n"
+                )
+            else:
+                logger.epoch(ep, cfg.n_epoch, epoch_times[-1], epoch_loss)
+        if spec.per_batch_elbo:
+            elbo_log.append(epoch_elbo / n_b)
+            bpd_log.append(epoch_bpd / n_b)
+
+        # ---- periodic eval (train_diffusion_paper.py:386-474) ------------
+        is_eval = (ep % cfg.eval_every == 0) or (ep == cfg.n_epoch - 1)
+        if is_eval and spec.track_val_mse:
+            inference_vars = {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+            }
+            val_loss = 0.0
+            v_b = 0
+            for bx, bc in batch_iterator(
+                ds.test_x, ds.test_c, cfg.batch_size, shuffle=False
+            ):
+                eval_key, k = jax.random.split(eval_key)
+                val_loss += float(eval_step(state.params, state.batch_stats, bx, bc, k))
+                v_b += 1
+            val_loss /= max(v_b, 1)
+            val_loss_log.append(val_loss)
+
+            train_elbo = train_bpd = val_elbo = val_bpd = None
+            train_nll = val_nll = None
+            nll_seconds = 0.0
+            if spec.eval_elbo and not spec.per_batch_elbo:
+                eval_key, k1, k2 = jax.random.split(eval_key, 3)
+                train_batches = _subset_batches(
+                    ds.train_x, ds.train_c, cfg.elbo_subset, cfg.batch_size, eval_np_rng
+                )
+                train_elbo, train_bpd = calculate_elbo_and_bpd(
+                    model, inference_vars, schedule, train_batches, k1,
+                    dims=dims, batch_size=cfg.batch_size,
+                )
+                val_batches = list(
+                    batch_iterator(ds.test_x, ds.test_c, cfg.batch_size, shuffle=False)
+                )
+                val_elbo, val_bpd = calculate_elbo_and_bpd(
+                    model, inference_vars, schedule, val_batches, k2,
+                    dims=dims, batch_size=cfg.batch_size,
+                )
+                elbo_log.append(train_elbo)
+                bpd_log.append(train_bpd)
+                val_elbo_log.append(val_elbo)
+                val_bpd_log.append(val_bpd)
+            if spec.eval_nll:
+                nll_start = time.time()
+                eval_key, k1, k2 = jax.random.split(eval_key, 3)
+                if not spec.val_nll_only:
+                    train_nll = calculate_likelihood(
+                        model, inference_vars, schedule,
+                        _subset_batches(
+                            ds.train_x, ds.train_c, cfg.nll_subset,
+                            cfg.batch_size, eval_np_rng,
+                        ),
+                        k1, batch_size=cfg.batch_size,
+                    )
+                    likelihood_log.append(train_nll)
+                val_nll = calculate_likelihood(
+                    model, inference_vars, schedule,
+                    _subset_batches(
+                        ds.test_x, ds.test_c, cfg.nll_subset,
+                        cfg.batch_size, eval_np_rng,
+                    ),
+                    k2, batch_size=cfg.batch_size,
+                )
+                val_likelihood_log.append(val_nll)
+                nll_seconds = time.time() - nll_start
+
+            if spec.timing_log:
+                if spec.eval_elbo and spec.eval_nll:
+                    logger.eval_metrics(
+                        val_loss,
+                        train_elbo or 0.0, train_bpd or 0.0,
+                        val_elbo or 0.0, val_bpd or 0.0,
+                        train_nll if train_nll is not None else 0.0,
+                        val_nll if val_nll is not None else 0.0,
+                        nll_seconds,
+                    )
+                elif spec.eval_nll:
+                    logger.append(
+                        f"  Validation Loss: {val_loss:.6f}\n"
+                        + (
+                            f"  Train Negative Log Likelihood: {train_nll:.6f}\n"
+                            if train_nll is not None else ""
+                        )
+                        + f"  Val Negative Log Likelihood: {val_nll:.6f}\n"
+                        f"  Likelihood calculation took {nll_seconds:.2f} seconds\n"
+                    )
+                else:
+                    logger.append(f"  Validation Loss: {val_loss:.6f}\n")
+            print(
+                f"Epoch {ep + 1}/{cfg.n_epoch}, Train Loss: {epoch_loss:.6f}, "
+                f"Val Loss: {val_loss:.6f}"
+            )
+
+        # ---- checkpoints (:476-478 + resumable state, new) ----------------
+        if (ep + 1) % cfg.ckpt_every == 0 or ep == cfg.n_epoch - 1:
+            save_model_weights(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                os.path.join(save_dir, f"model_epoch_{ep + 1}.msgpack"),
+            )
+            save_train_checkpoint(state, ep + 1, train_key, ckpt_path)
+
+    total_training_time = time.time() - training_start
+    inference_vars = {"params": state.params, "batch_stats": state.batch_stats}
+
+    if spec.timing_log:
+        logger.training_complete(
+            total_training_time,
+            epoch_times or [0.0],
+            loss_log[-1] if loss_log else 0.0,
+            val_loss_log[-1] if val_loss_log else None,
+            bpd_log[-1] if bpd_log else None,
+            val_bpd_log[-1] if val_bpd_log else None,
+            likelihood_log[-1] if likelihood_log else None,
+            val_likelihood_log[-1] if val_likelihood_log else None,
+        )
+
+    # ---- loss figures ------------------------------------------------------
+    if spec.training_metrics_figure:
+        viz.plot_training_metrics(
+            output_dir, cfg.n_epoch, loss_log, val_loss_log,
+            likelihood_log, val_likelihood_log,
+            elbo_log if not spec.per_batch_elbo else [],
+            val_elbo_log, bpd_log if not spec.per_batch_elbo else [], val_bpd_log,
+        )
+    elif loss_log:
+        viz.plot_loss_curve(output_dir, loss_log)
+
+    results: Dict[str, object] = {
+        "output_dir": output_dir,
+        "data_source": data_source,
+        "loss_log": loss_log,
+        "val_loss_log": val_loss_log,
+        "total_training_time": total_training_time,
+        "epoch_times": epoch_times,
+        "n_train": ds.n_train,
+    }
+
+    # ---- reconstruction (train_diffusion_paper.py:772-806) ----------------
+    if spec.timing_log:
+        logger.sampling_header()
+    sample_key, nkey, rkey = jax.random.split(sample_key, 3)
+    noise = jax.random.normal(nkey, selected_images.shape, jnp.float32)
+    x_fwd = q_sample(schedule, jnp.asarray(selected_images), cfg.timesteps, noise)
+    recon = sample_ddpm_from_noise(
+        model, inference_vars, schedule, rkey, x_fwd,
+        params=jnp.asarray(selected_params) if spec.conditional else None,
+    )
+    recon_x = np.asarray(recon.x)
+    if spec.timing_log:
+        logger.reconstruction_perf(
+            len(selected_images), recon.sampling_time,
+            float(np.mean(recon.timestep_times)), cfg.timesteps,
+        )
+    for idx in range(0, recon.intermediate.shape[0], 5 if spec.conditional else 1):
+        viz.save_image_grid(
+            np.asarray(recon.intermediate[idx]),
+            os.path.join(output_dir, f"intermediate_step_{idx}.png"),
+        )
+    viz.save_image_grid(recon_x, os.path.join(output_dir, "reconstructed_images.png"))
+    if spec.viridis:
+        viz.visualize_viridis_style(
+            recon_x, os.path.join(output_dir, "reconstructed_images_viridis.png")
+        )
+        viz.visualize_reconstruction_comparison(
+            selected_images, recon_x,
+            os.path.join(output_dir, "reconstruction_comparison_viridis.png"),
+        )
+
+    if spec.post_metrics:
+        sample_key, mkey = jax.random.split(sample_key)
+        r_elbo, r_bpd, r_nll = _sample_metrics(
+            model, inference_vars, schedule, recon_x, selected_params,
+            mkey, cfg.batch_size, dims,
+        )
+        logger.sample_metrics("reconstructed images", r_elbo, r_bpd, r_nll)
+        results["recon_metrics"] = {"elbo": r_elbo, "bpd": r_bpd, "nll": r_nll}
+
+    # ---- pixel-PDF comparison (:861-908) ----------------------------------
+    pdf_stats = compare_pdf_stats(selected_images[..., 0], recon_x[..., 0])
+    viz.plot_distribution_comparison(
+        *pdf_stats, output_dir=output_dir, styled=spec.styled_plots
+    )
+    reconstructed_mean = float(recon_x.mean())
+    results["means"] = {
+        "processed": processed_images_mean,
+        "reconstructed": reconstructed_mean,
+    }
+
+    # ---- recon power spectra (spectrum_indiv:745-769) ----------------------
+    if spec.recon_power_spectra:
+        k, om, os_, gm, gs = compare_power_spectra_stats(
+            selected_images[..., 0], recon_x[..., 0]
+        )
+        viz.plot_power_spectrum_comparison(
+            k, om, os_, gm, gs, output_dir,
+            title=f"Power Spectrum conditioning on Parameter {cfg.param_index}",
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pk_ratio = gm / om
+        ratio_mean = float(np.mean(pk_ratio[1:]))
+        ratio_std = float(np.std(pk_ratio[1:]))
+        logger.append(
+            "\nPower Spectrum Analysis:\n"
+            f"  Mean P(k) ratio (generated/original): "
+            f"{ratio_mean:.4f} ± {ratio_std:.4f}\n"
+        )
+        good = np.where((pk_ratio > 0.8) & (pk_ratio < 1.2) & (k > 0))[0]
+        if len(good) > 0:
+            logger.append(
+                f"  Good P(k) match (within 20%) for k range: "
+                f"[{k[good[0]]:.4f}, {k[good[-1]]:.4f}]\n"
+            )
+        results["pk_ratio"] = {"mean": ratio_mean, "std": ratio_std}
+
+    # ---- uncond mean-ratio correction (train_diffusion.py:254-295) ---------
+    if spec.mean_correction:
+        with open(os.path.join(output_dir, "means.txt"), "w") as f:
+            f.write(f"Processed Images Mean: {processed_images_mean}\n")
+            f.write(f"Reconstructed Images Mean: {reconstructed_mean}\n")
+        mean_ratio = processed_images_mean / reconstructed_mean
+        corrected = recon_x * mean_ratio
+        viz.save_image_grid(
+            corrected, os.path.join(output_dir, "corrected_reconstructed_images.png")
+        )
+        pdf_stats_c = compare_pdf_stats(selected_images[..., 0], corrected[..., 0])
+        viz.plot_distribution_comparison(
+            *pdf_stats_c, output_dir=output_dir, styled=False
+        )
+        with open(os.path.join(output_dir, "corrected_means.txt"), "w") as f:
+            f.write(f"Processed Images Mean: {processed_images_mean}\n")
+            f.write(
+                f"Corrected Reconstructed Images Mean: {float(corrected.mean())}\n"
+            )
+        results["mean_ratio"] = mean_ratio
+
+    # ---- parameter grid sweep (:913-1006) ----------------------------------
+    if spec.param_grid and spec.conditional:
+        grid_params = _build_grid_params(cfg, selected_params)
+        sample_key, gkey, mkey = jax.random.split(sample_key, 3)
+        t0 = time.time()
+        grid_out = sample_ddpm(
+            model, inference_vars, schedule, gkey,
+            n_sample=len(grid_params), size=cfg.height,
+            params=jnp.asarray(grid_params),
+        )
+        if spec.timing_log:
+            logger.grid_perf(len(grid_params), grid_out.sampling_time)
+        grid_x = np.asarray(grid_out.x)
+        grid_size = int(np.sqrt(len(grid_x)))
+        viz.save_image_grid(
+            grid_x,
+            os.path.join(
+                output_dir, f"parameter_grid_samples_{cfg.num_params}params.png"
+            ),
+            nrow=grid_size,
+        )
+        if spec.post_metrics:
+            g_elbo, g_bpd, g_nll = _sample_metrics(
+                model, inference_vars, schedule, grid_x, grid_params,
+                mkey, cfg.batch_size, dims,
+            )
+            logger.sample_metrics("parameter grid samples", g_elbo, g_bpd, g_nll)
+            results["grid_metrics"] = {"elbo": g_elbo, "bpd": g_bpd, "nll": g_nll}
+
+    # ---- CFG guidance sweep (:1008-1105) ------------------------------------
+    if spec.guidance_sweep and spec.conditional:
+        guided_samples = []
+        guided_metrics = []
+        base = np.tile(selected_params[0], (5, 1))
+        for w in cfg.guidance_strengths:
+            sample_key, gkey, mkey = jax.random.split(sample_key, 3)
+            out = sample_ddpm(
+                model, inference_vars, schedule, gkey,
+                n_sample=5, size=cfg.height, params=jnp.asarray(base), guide_w=w,
+            )
+            guided_samples.append(np.asarray(out.x))
+            if spec.post_metrics:
+                e, b, nll = _sample_metrics(
+                    model, inference_vars, schedule, guided_samples[-1], base,
+                    mkey, 5, dims,
+                )
+                guided_metrics.append(
+                    {"guidance": w, "elbo": e, "bpd": b, "nll": nll}
+                )
+                logger.guidance_metrics(w, e, b, nll)
+        viz.save_image_grid(
+            np.concatenate(guided_samples),
+            os.path.join(output_dir, "guidance_strength_samples.png"),
+            nrow=5,
+        )
+        if guided_metrics:
+            viz.plot_guidance_metrics(guided_metrics, output_dir)
+            results["guidance_metrics"] = guided_metrics
+
+    # ---- parameter sensitivity (:1107-1215), batched -----------------------
+    if spec.sensitivity and spec.conditional and cfg.num_params > 0:
+        param_values = np.linspace(0.0, 1.0, 5, dtype=np.float32)
+        sens_params = []
+        for p_idx in range(cfg.num_params):
+            for v in param_values:
+                row = selected_params[0].copy()
+                row[p_idx] = v
+                sens_params.append(row)
+        sens_params = np.stack(sens_params)  # (num_params*5, n_cfeat)
+        sample_key, skey, mkey = jax.random.split(sample_key, 3)
+        # ONE sampler invocation for every (parameter, value) pair — the
+        # reference loops num_params*5 single-sample 1500-step samplers.
+        sens_out = sample_ddpm(
+            model, inference_vars, schedule, skey,
+            n_sample=len(sens_params), size=cfg.height,
+            params=jnp.asarray(sens_params),
+        )
+        sens_x = np.asarray(sens_out.x).reshape(
+            cfg.num_params, 5, cfg.height, cfg.height
+        )
+        viz.plot_sensitivity_grid(sens_x, param_values, output_dir)
+        if spec.post_metrics:
+            mkey1, mkey2 = jax.random.split(mkey)
+            per_elbo = np.asarray(
+                elbo_bpd_batch(
+                    model, inference_vars, schedule.beta, schedule.alpha_bar,
+                    jnp.asarray(np.asarray(sens_out.x)), jnp.asarray(sens_params),
+                    mkey1,
+                    jnp.asarray(elbo_timesteps(cfg.timesteps)),
+                )
+            )
+            per_nll = np.asarray(
+                nll_batch(
+                    model, inference_vars, schedule.beta, schedule.alpha_bar,
+                    jnp.asarray(np.asarray(sens_out.x)), jnp.asarray(sens_params),
+                    mkey2,
+                )
+            )
+            for p_idx in range(cfg.num_params):
+                logger.sensitivity_header(p_idx)
+                metrics = []
+                for i, v in enumerate(param_values):
+                    j = p_idx * 5 + i
+                    e = float(per_elbo[j])
+                    b = e / (dims * np.log(2.0))
+                    nll = float(per_nll[j])
+                    logger.sensitivity_value(float(v), e, b, nll)
+                    metrics.append(
+                        {
+                            "param_idx": p_idx,
+                            "param_value": float(v),
+                            "elbo": e,
+                            "bpd": b,
+                            "nll": nll,
+                        }
+                    )
+                viz.plot_parameter_metrics(metrics, p_idx, output_dir)
+
+    print(
+        f"Training and evaluation completed"
+        + (
+            f" with {cfg.num_params} conditioning parameters."
+            if spec.conditional
+            else "."
+        )
+    )
+    return results
+
+
+def _build_grid_params(cfg: ExperimentConfig, selected_params: np.ndarray):
+    """5x5 grid over the first two params, or 25 values of a single one
+    (train_diffusion_paper.py:917-941)."""
+    if cfg.num_params >= 2:
+        p1 = np.linspace(0.0, 1.0, 5, dtype=np.float32)
+        p2 = np.linspace(0.0, 1.0, 5, dtype=np.float32)
+        rows = []
+        for a in p1:
+            for b in p2:
+                row = selected_params[0].copy()
+                row[0] = a
+                row[1] = b
+                rows.append(row)
+    else:
+        rows = []
+        for a in np.linspace(0.0, 1.0, 25, dtype=np.float32):
+            row = selected_params[0].copy()
+            row[0] = a
+            rows.append(row)
+    return np.stack(rows)

@@ -1,0 +1,19 @@
+from .pipeline import (
+    CamelsDataset,
+    load_camels_dataset,
+    normalize_maps,
+    normalize_params,
+    batch_iterator,
+    train_test_split,
+)
+from .synthetic import synthetic_camels
+
+__all__ = [
+    "CamelsDataset",
+    "load_camels_dataset",
+    "normalize_maps",
+    "normalize_params",
+    "batch_iterator",
+    "train_test_split",
+    "synthetic_camels",
+]

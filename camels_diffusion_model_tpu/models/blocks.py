@@ -1,0 +1,215 @@
+"""NN building blocks for the ContextUnet family (Flax linen, NHWC, TPU-first).
+
+Capability parity with the reference's building blocks
+(reference: code/diffusion_utilities.py:13-145), re-designed for TPU:
+
+* NHWC layout throughout (TPU conv layouts; the reference is NCHW).
+* Configurable compute dtype (bfloat16 on TPU); normalization statistics are
+  always accumulated in float32.
+* The reference's ``ResidualConvBlock`` has a quirk: when ``is_res`` and the
+  channel counts differ it constructs a *fresh, randomly initialized* 1x1
+  conv inside ``forward()`` on every call (diffusion_utilities.py:54) — i.e.
+  the shortcut is a new random projection per forward pass.  Here the shortcut
+  is a **learned** 1x1 conv by default (``shortcut="learned"``), which is the
+  correct design; ``shortcut="stochastic"`` reproduces the reference behavior
+  exactly (a fresh Kaiming-uniform projection drawn from the ``"shortcut"``
+  RNG stream each call) for fidelity experiments.  This divergence is
+  intentional and excluded from bit-match claims.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def torch_conv_init(fan_in: int):
+    """Initializers matching torch's Conv2d/Linear defaults
+    (kaiming_uniform(a=sqrt(5)) == U(-1/sqrt(fan_in), 1/sqrt(fan_in)), and the
+    same bound for bias).  Used so training dynamics are statistically
+    comparable to the reference; parity is statistical, not bitwise."""
+    bound = 1.0 / (fan_in**0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class Conv3x3(nn.Module):
+    """3x3 same-padding conv with torch-default initialization."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        fan_in = x.shape[-1] * 9
+        return nn.Conv(
+            self.features,
+            kernel_size=(3, 3),
+            padding="SAME",
+            dtype=self.dtype,
+            kernel_init=torch_conv_init(fan_in),
+            bias_init=torch_conv_init(fan_in),
+            name="conv",
+        )(x)
+
+
+class ResidualConvBlock(nn.Module):
+    """Two (3x3 conv -> BatchNorm -> ReLU) stages with an optional residual add.
+
+    Parity: diffusion_utilities.py:13-75.  BatchNorm runs in float32 and — under
+    pjit data parallelism — computes *global* batch statistics automatically
+    (XLA inserts the cross-chip reductions), which is the TPU-native analogue
+    of sync-BN.
+    """
+
+    out_channels: int
+    is_res: bool = False
+    shortcut: str = "learned"  # "learned" | "stochastic"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        in_channels = x.shape[-1]
+
+        def stage(h, name):
+            h = Conv3x3(self.out_channels, dtype=self.dtype, name=f"{name}")(h)
+            h = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=jnp.float32,
+                name=f"{name}_bn",
+            )(h)
+            return nn.relu(h)
+
+        x1 = stage(x, "conv1")
+        x2 = stage(x1, "conv2")
+
+        if not self.is_res:
+            return x2
+
+        if in_channels == self.out_channels:
+            return x + x2
+
+        if self.shortcut == "learned":
+            proj = nn.Conv(
+                self.out_channels,
+                kernel_size=(1, 1),
+                dtype=self.dtype,
+                kernel_init=torch_conv_init(in_channels),
+                bias_init=torch_conv_init(in_channels),
+                name="shortcut",
+            )(x)
+        elif self.shortcut == "stochastic":
+            # Reference-faithful mode: fresh random 1x1 projection each call
+            # (diffusion_utilities.py:54).  Requires a "shortcut" RNG stream.
+            key = self.make_rng("shortcut")
+            kkey, bkey = jax.random.split(key)
+            bound = 1.0 / (in_channels**0.5)
+            kernel = jax.random.uniform(
+                kkey, (1, 1, in_channels, self.out_channels), jnp.float32, -bound, bound
+            ).astype(self.dtype)
+            bias = jax.random.uniform(
+                bkey, (self.out_channels,), jnp.float32, -bound, bound
+            ).astype(self.dtype)
+            proj = (
+                jax.lax.conv_general_dilated(
+                    x.astype(self.dtype),
+                    kernel,
+                    window_strides=(1, 1),
+                    padding="VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                + bias
+            )
+        else:
+            raise ValueError(f"unknown shortcut mode: {self.shortcut!r}")
+        return proj + x2
+
+
+class UnetDown(nn.Module):
+    """Two ResidualConvBlocks then 2x2 max-pool (diffusion_utilities.py:103-116)."""
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        x = ResidualConvBlock(self.out_channels, dtype=self.dtype, name="block1")(
+            x, train=train
+        )
+        x = ResidualConvBlock(self.out_channels, dtype=self.dtype, name="block2")(
+            x, train=train
+        )
+        return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+
+
+class UnetUp(nn.Module):
+    """Concat skip -> 2x2 stride-2 transposed conv -> two ResidualConvBlocks
+    (diffusion_utilities.py:79-100)."""
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, skip: jax.Array, *, train: bool = False) -> jax.Array:
+        x = jnp.concatenate([x, skip], axis=-1)
+        fan_in = x.shape[-1] * 4  # k=2x2 transposed conv fan-in (torch semantics)
+        x = nn.ConvTranspose(
+            self.out_channels,
+            kernel_size=(2, 2),
+            strides=(2, 2),
+            dtype=self.dtype,
+            kernel_init=torch_conv_init(fan_in),
+            bias_init=torch_conv_init(fan_in),
+            name="upconv",
+        )(x)
+        x = ResidualConvBlock(self.out_channels, dtype=self.dtype, name="block1")(
+            x, train=train
+        )
+        x = ResidualConvBlock(self.out_channels, dtype=self.dtype, name="block2")(
+            x, train=train
+        )
+        return x
+
+
+class EmbedFC(nn.Module):
+    """Linear -> GELU -> Linear embedding MLP; flattens input to
+    ``(-1, input_dim)`` (diffusion_utilities.py:118-145).
+
+    With a scalar/broadcast input (e.g. the sampler's single normalized
+    timestep), the output has leading dim 1 and broadcasts over the batch —
+    same semantics as the reference.
+    """
+
+    input_dim: int
+    emb_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = jnp.asarray(x, self.dtype).reshape(-1, self.input_dim)
+        x = nn.Dense(
+            self.emb_dim,
+            dtype=self.dtype,
+            kernel_init=torch_conv_init(self.input_dim),
+            bias_init=torch_conv_init(self.input_dim),
+            name="fc1",
+        )(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(
+            self.emb_dim,
+            dtype=self.dtype,
+            kernel_init=torch_conv_init(self.emb_dim),
+            bias_init=torch_conv_init(self.emb_dim),
+            name="fc2",
+        )(x)
+        return x

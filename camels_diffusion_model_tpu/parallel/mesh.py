@@ -1,0 +1,75 @@
+"""Device mesh and sharding helpers (jax.sharding / pjit data parallelism).
+
+The reference is strictly single-process single-GPU (SURVEY §2.8: no
+torch.distributed / NCCL / MPI anywhere; SLURM requests exactly 1 GPU).
+Multi-chip scaling is therefore a NEW first-class capability of this
+framework, built the TPU-native way:
+
+* a 1-D ``jax.sharding.Mesh`` over all local devices with a ``"data"`` axis;
+* batches sharded on the leading axis (``NamedSharding(P("data"))``), model
+  parameters and optimizer state replicated (``P()``);
+* the jitted train/sample steps are ordinary ``jax.jit`` functions — XLA
+  inserts the psum gradient reductions and BatchNorm's cross-chip batch
+  statistics over ICI automatically from the sharding annotations.
+
+Sampling sweeps (parameter grids, CFG sweeps, power-spectrum validation) are
+embarrassingly parallel across the batch axis and use the same helpers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None, axis_name: str = "data"
+) -> Mesh:
+    """A 1-D mesh over (the first ``n_devices``) local devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested {n_devices} devices but only {len(devices)} present"
+            )
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), axis_names=(axis_name,))
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch) axis across the mesh's data axis."""
+    spec = P(mesh.axis_names[0], *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def pad_to_multiple(x: np.ndarray, multiple: int):
+    """Zero-pad the leading axis to a multiple (for even per-chip shards).
+
+    Returns (padded, n_real)."""
+    n = x.shape[0]
+    rem = n % multiple
+    if rem == 0:
+        return x, n
+    pad = multiple - rem
+    return np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)]), n
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """device_put host batches with leading-axis sharding over the mesh."""
+    out = tuple(
+        jax.device_put(a, batch_sharding(mesh, np.ndim(a))) for a in arrays
+    )
+    return out if len(out) > 1 else out[0]
+
+
+def replicate(mesh: Mesh, tree):
+    """device_put a pytree fully replicated on every device of the mesh."""
+    sh = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), tree)

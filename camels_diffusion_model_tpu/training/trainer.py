@@ -1,0 +1,138 @@
+"""Jitted training/eval steps and optimizer state (optax + flax TrainState).
+
+Capability parity with the reference's trainer
+(train_diffusion_paper.py:318-408): Adam, per-epoch linear LR decay
+``lrate * (1 - ep / n_epoch)`` (:343), per-sample random timesteps
+``t ~ randint(1, T+1)`` (:354), the REFERENCE q_sample scaling (:320-321),
+simple epsilon-MSE objective (:361), and the validation pass's
+equal-per-batch MSE averaging (:392-407).
+
+TPU-first design: noise/timestep sampling happens on-device from a threaded
+PRNG key inside the jitted step (no host RNG in the hot loop); the step is an
+ordinary ``jax.jit`` function, so handing it batches sharded over a mesh's
+"data" axis makes it data-parallel (psum of grads and global BatchNorm
+statistics are inserted by XLA).  The per-sample MSE and timesteps are
+returned so the per-batch ELBO mode (train_diffusion_elbo.py:74-105) costs no
+extra forward pass.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def linear_decay_schedule(lrate: float, n_epoch: int, steps_per_epoch: int):
+    """The reference's per-epoch linear decay as an optax step schedule."""
+
+    def schedule(step):
+        ep = step // steps_per_epoch
+        return lrate * (1.0 - ep / n_epoch)
+
+    return schedule
+
+
+def create_train_state(
+    model,
+    variables,
+    lrate: float,
+    n_epoch: int,
+    steps_per_epoch: int,
+    beta1: float = 0.9,
+    beta2: float = 0.999,
+) -> TrainState:
+    """TrainState with Adam + per-epoch linear LR decay (torch Adam defaults:
+    betas=(0.9, 0.999), eps=1e-8, matching train_diffusion_paper.py:318)."""
+    tx = optax.adam(
+        learning_rate=linear_decay_schedule(lrate, n_epoch, steps_per_epoch),
+        b1=beta1,
+        b2=beta2,
+        eps=1e-8,
+    )
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats"),
+        tx=tx,
+    )
+
+
+def make_train_step(model, timesteps: int):
+    """Build the jitted train step.
+
+    step(state, x, c, rng) -> (state, metrics) with metrics
+    {"loss", "per_sample_mse", "t"}.  ``x`` NHWC, ``c`` (B, n_cfeat).
+    """
+
+    from ..diffusion.schedule import make_schedule
+
+    alpha_bar = make_schedule(timesteps).alpha_bar
+
+    @jax.jit
+    def train_step(state: TrainState, x, c, rng):
+        tkey, nkey = jax.random.split(rng)
+        b = x.shape[0]
+        t = jax.random.randint(tkey, (b,), 1, timesteps + 1)
+        noise = jax.random.normal(nkey, x.shape, x.dtype)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            # REFERENCE q_sample scaling: sqrt(ab)x + (1-ab)n  (:320-321)
+            ab = alpha_bar[t][:, None, None, None]
+            x_pert = jnp.sqrt(ab) * x + (1.0 - ab) * noise
+            out, mutated = model.apply(
+                variables,
+                x_pert,
+                (t / timesteps).astype(jnp.float32),
+                c,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            per_sample = jnp.mean(
+                jnp.square(out - noise), axis=tuple(range(1, out.ndim))
+            )
+            return jnp.mean(per_sample), (per_sample, mutated["batch_stats"])
+
+        (loss, (per_sample, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_stats)
+        return state, {"loss": loss, "per_sample_mse": per_sample, "t": t}
+
+    return train_step
+
+
+def make_eval_step(model, timesteps: int):
+    """Validation MSE step (train_diffusion_paper.py:392-404): random
+    timesteps, reference q_sample, batch-mean MSE."""
+    from ..diffusion.schedule import make_schedule
+
+    alpha_bar = make_schedule(timesteps).alpha_bar
+
+    @jax.jit
+    def eval_step(params, batch_stats, x, c, rng):
+        tkey, nkey = jax.random.split(rng)
+        b = x.shape[0]
+        t = jax.random.randint(tkey, (b,), 1, timesteps + 1)
+        noise = jax.random.normal(nkey, x.shape, x.dtype)
+        ab = alpha_bar[t][:, None, None, None]
+        x_pert = jnp.sqrt(ab) * x + (1.0 - ab) * noise
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x_pert,
+            (t / timesteps).astype(jnp.float32),
+            c,
+        )
+        return jnp.mean(jnp.square(out - noise))
+
+    return eval_step

@@ -1,0 +1,371 @@
+"""Visualization and image-artifact writers (matplotlib, host-side).
+
+Reproduces the reference's ~15 PNG artifact types per run (README.md:115-130):
+image grids (`save_image` parity with torchvision's default grid layout),
+viridis-colormap sample/reconstruction figures
+(train_diffusion_paper.py:688-770), the 4-panel training-metrics figure
+(:495-546), distribution comparison (:861-905), guidance-metrics figure
+(:1077-1105), parameter-sensitivity figures (:1107-1215), and both
+power-spectrum comparison plots (diffusion_utilities.py:370-448 styled
+log-log and sample_power_spectra.py:286-338).
+
+All functions take NHWC arrays (or (B, H, W)) and write PNGs; no device work.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+
+
+def _to_bhw(images: np.ndarray) -> np.ndarray:
+    images = np.asarray(images)
+    if images.ndim == 4:  # NHWC
+        images = images[..., 0]
+    return images
+
+
+def save_image_grid(
+    images: np.ndarray, path: str, nrow: int = 8, padding: int = 2
+) -> None:
+    """torchvision ``save_image`` parity: row-major grid with 2px padding,
+    values clamped to [0, 1], grayscale PNG."""
+    imgs = np.clip(_to_bhw(images), 0.0, 1.0)
+    b, h, w = imgs.shape
+    ncol = min(nrow, b)
+    nrows = -(-b // ncol)
+    grid = np.zeros(
+        (nrows * h + (nrows + 1) * padding, ncol * w + (ncol + 1) * padding),
+        np.float32,
+    )
+    for idx in range(b):
+        r, c = divmod(idx, ncol)
+        y = r * h + (r + 1) * padding
+        x = c * w + (c + 1) * padding
+        grid[y : y + h, x : x + w] = imgs[idx]
+    plt.imsave(path, grid, cmap="gray", vmin=0.0, vmax=1.0)
+
+
+def visualize_viridis_style(
+    samples: np.ndarray, output_path: str, nrow: int = 5, title: str = "CAMELS"
+) -> None:
+    """Viridis grid with rotated side title (train_diffusion_paper.py:688-728)."""
+    samples = _to_bhw(samples)
+    num_images = min(len(samples), 25)
+    num_cols = nrow
+    num_rows = (num_images + num_cols - 1) // num_cols
+    plt.figure(figsize=(num_cols * 3, num_rows * 3))
+    plt.figtext(0.05, 0.5, title, rotation=90, fontsize=16, fontweight="bold", va="center")
+    plt.subplots_adjust(left=0.1)
+    for i in range(num_images):
+        plt.subplot(num_rows, num_cols, i + 1)
+        plt.imshow(samples[i], cmap="viridis")
+        plt.axis("off")
+    plt.tight_layout(rect=[0.1, 0, 1, 1])
+    plt.savefig(output_path, dpi=150, bbox_inches="tight")
+    plt.close()
+
+
+def visualize_reconstruction_comparison(
+    original: np.ndarray, reconstructed: np.ndarray, output_path: str
+) -> None:
+    """Side-by-side 2x5 original/reconstruction viridis figure
+    (train_diffusion_paper.py:730-770)."""
+    original = _to_bhw(original)[:5]
+    reconstructed = _to_bhw(reconstructed)[:5]
+    plt.figure(figsize=(15, 6))
+    for i in range(len(original)):
+        plt.subplot(2, 5, i + 1)
+        plt.imshow(original[i], cmap="viridis")
+        plt.axis("off")
+        if i == 2:
+            plt.title("Original Images", fontsize=16, fontweight="bold", pad=20)
+    for i in range(len(reconstructed)):
+        plt.subplot(2, 5, i + 6)
+        plt.imshow(reconstructed[i], cmap="viridis")
+        plt.axis("off")
+        if i == 2:
+            plt.title("Reconstructed Images", fontsize=16, fontweight="bold", pad=20)
+    plt.tight_layout()
+    plt.savefig(output_path, dpi=150, bbox_inches="tight")
+    plt.close()
+
+
+def plot_training_metrics(
+    output_dir: str,
+    n_epoch: int,
+    loss_log: Sequence[float],
+    val_loss_log: Sequence[float],
+    likelihood_log: Sequence[float],
+    val_likelihood_log: Sequence[float],
+    elbo_log: Sequence[float],
+    val_elbo_log: Sequence[float],
+    bpd_log: Sequence[float],
+    val_bpd_log: Sequence[float],
+) -> None:
+    """4-panel loss/NLL/ELBO/BPD figure (train_diffusion_paper.py:495-546)."""
+    plt.figure(figsize=(15, 10))
+    eval_epochs = list(range(0, n_epoch, 5))
+    if (n_epoch - 1) % 5 != 0:
+        eval_epochs.append(n_epoch - 1)
+    eval_x = [e + 1 for e in eval_epochs]
+
+    plt.subplot(2, 2, 1)
+    plt.plot(range(1, n_epoch + 1), np.log(loss_log), color="orange",
+             label="Training Loss", linewidth=2)
+    if val_loss_log:
+        plt.plot(eval_x, np.log(val_loss_log), "o-", color="blue",
+                 label="Validation Loss", linewidth=2, markersize=6)
+    plt.xlabel("Epoch", fontsize=14)
+    plt.ylabel("Log Loss", fontsize=14)
+    plt.legend(fontsize=16)
+    plt.grid(True, alpha=0.7)
+    plt.title("Training Metrics", fontsize=18, fontweight="bold")
+
+    plt.subplot(2, 2, 2)
+    if likelihood_log:
+        plt.plot(eval_x, likelihood_log, "o-", color="orange",
+                 label="Training NLL", linewidth=2, markersize=6)
+    if val_likelihood_log:
+        plt.plot(eval_x, val_likelihood_log, "o-", color="blue",
+                 label="Validation NLL", linewidth=2, markersize=6)
+    plt.xlabel("Epoch", fontsize=14)
+    plt.ylabel("NLL", fontsize=14)
+    plt.legend(fontsize=16)
+    plt.grid(True, alpha=0.7)
+    plt.title("Negative Log Likelihood Evolution", fontsize=18, fontweight="bold")
+
+    plt.subplot(2, 2, 3)
+    if elbo_log:
+        plt.plot(eval_x, elbo_log, color="orange", label="Training ELBO", linewidth=2)
+    if val_elbo_log:
+        plt.plot(eval_x, val_elbo_log, "o-", color="blue",
+                 label="Validation ELBO", linewidth=2, markersize=6)
+    plt.xlabel("Epoch", fontsize=14)
+    plt.ylabel("ELBO", fontsize=14)
+    plt.legend(fontsize=16)
+    plt.grid(True, alpha=0.7)
+    plt.title("ELBO Evolution", fontsize=18, fontweight="bold")
+
+    plt.subplot(2, 2, 4)
+    if bpd_log:
+        plt.plot(eval_x, bpd_log, color="orange", label="Training BPD", linewidth=2)
+    if val_bpd_log:
+        plt.plot(eval_x, val_bpd_log, "o-", color="blue",
+                 label="Validation BPD", linewidth=2, markersize=6)
+    plt.xlabel("Epoch", fontsize=14)
+    plt.ylabel("Bits Per Dimension (BPD)", fontsize=14)
+    plt.legend(fontsize=16)
+    plt.grid(True, alpha=0.7)
+    plt.title("BPD Evolution", fontsize=18, fontweight="bold")
+
+    plt.tight_layout()
+    plt.savefig(os.path.join(output_dir, "training_metrics.png"), dpi=300,
+                bbox_inches="tight")
+    plt.close()
+
+
+def plot_loss_curve(output_dir: str, loss_log: Sequence[float]) -> None:
+    """Single log-loss curve (unconditional trainer's plot)."""
+    plt.figure()
+    plt.plot(np.log(np.asarray(loss_log)))
+    plt.xlabel("Epoch")
+    plt.ylabel("Log Loss")
+    plt.grid(True, alpha=0.7)
+    plt.savefig(os.path.join(output_dir, "loss_plot.png"), dpi=150,
+                bbox_inches="tight")
+    plt.close()
+
+
+def plot_distribution_comparison(
+    bin_mid: np.ndarray,
+    orig_mean: np.ndarray,
+    orig_std: np.ndarray,
+    gen_mean: np.ndarray,
+    gen_std: np.ndarray,
+    output_dir: str,
+    filename: str = "distribution_comparison.png",
+    styled: bool = True,
+) -> str:
+    """Two-panel mean/std pixel-PDF figure (train_diffusion_paper.py:861-905)."""
+    fig, ax = plt.subplots(1, 2, figsize=(14, 4))
+    ax[0].plot(bin_mid, orig_mean, color="blue", linewidth=2, label="Original")
+    ax[0].plot(bin_mid, gen_mean, color="red", linewidth=2, linestyle="--",
+               label="Model")
+    ax[0].set_ylabel(r"$\mu(\rm PDF)$", fontsize=14)
+    ax[0].legend(fontsize=16)
+    ax[1].plot(bin_mid, orig_std, color="blue", linewidth=2)
+    ax[1].plot(bin_mid, gen_std, color="red", linewidth=2, linestyle="--")
+    ax[1].set_ylabel(r"$\sigma(\rm PDF)$", fontsize=14)
+    for i in range(2):
+        ax[i].set_xlabel(r"$N_{\rm HI}$", fontsize=14)
+        ax[i].grid(True, alpha=0.7)
+    if styled:
+        fig.suptitle("Probability Distribution", fontsize=18, fontweight="bold")
+    plt.tight_layout()
+    path = os.path.join(output_dir, filename)
+    plt.savefig(path, dpi=300, bbox_inches="tight")
+    plt.close()
+    return path
+
+
+def plot_power_spectrum_comparison(
+    k: np.ndarray,
+    orig_mean: np.ndarray,
+    orig_std: np.ndarray,
+    gen_mean: np.ndarray,
+    gen_std: np.ndarray,
+    output_dir: str,
+    title: str = "Power Spectrum Comparison",
+    filename: str = "power_spectrum_comparison.png",
+    skip_first: bool = True,
+) -> str:
+    """Linear-bin log-log comparison with error bands
+    (diffusion_utilities.py:420-446)."""
+    s = 1 if skip_first else 0
+    plt.figure(figsize=(10, 6))
+    plt.loglog(k[s:], orig_mean[s:], "b-", label="Original")
+    plt.fill_between(k[s:], orig_mean[s:] - orig_std[s:],
+                     orig_mean[s:] + orig_std[s:], alpha=0.3, color="b")
+    plt.loglog(k[s:], gen_mean[s:], "r-", label="Diffusion Model")
+    plt.fill_between(k[s:], gen_mean[s:] - gen_std[s:],
+                     gen_mean[s:] + gen_std[s:], alpha=0.3, color="r")
+    plt.xlabel("k")
+    plt.ylabel("P(k)")
+    plt.title(title)
+    plt.legend()
+    plt.grid(True, which="both", ls="-", alpha=0.2)
+    plt.tight_layout()
+    path = os.path.join(output_dir, filename)
+    plt.savefig(path, dpi=150)
+    plt.close()
+    return path
+
+
+def plot_guidance_metrics(metrics: List[Dict[str, float]], output_dir: str) -> None:
+    """Guidance strength vs ELBO/BPD/NLL (train_diffusion_paper.py:1077-1105)."""
+    plt.figure(figsize=(15, 5))
+    for i, (key, ylabel, title) in enumerate(
+        [
+            ("elbo", "ELBO", "Guidance Strength vs. ELBO"),
+            ("bpd", "Bits Per Dimension (BPD)", "Guidance Strength vs. BPD"),
+            ("nll", "Negative Log Likelihood (NLL)", "Guidance Strength vs. NLL"),
+        ]
+    ):
+        plt.subplot(1, 3, i + 1)
+        plt.plot([m["guidance"] for m in metrics], [m[key] for m in metrics],
+                 "o-", linewidth=2, markersize=8)
+        plt.xlabel("Guidance Strength", fontsize=14)
+        plt.ylabel(ylabel, fontsize=14)
+        plt.grid(True, alpha=0.7)
+        plt.title(title, fontsize=16, fontweight="bold")
+    plt.tight_layout()
+    plt.savefig(os.path.join(output_dir, "guidance_metrics.png"), dpi=300,
+                bbox_inches="tight")
+    plt.close()
+
+
+def plot_parameter_metrics(
+    metrics: List[Dict[str, float]], param_idx: int, output_dir: str
+) -> None:
+    """Parameter value vs ELBO/BPD/NLL (train_diffusion_paper.py:1184-1215)."""
+    plt.figure(figsize=(15, 5))
+    for i, (key, ylabel) in enumerate(
+        [("elbo", "ELBO"), ("bpd", "Bits Per Dimension (BPD)"),
+         ("nll", "Negative Log Likelihood (NLL)")]
+    ):
+        plt.subplot(1, 3, i + 1)
+        plt.plot([m["param_value"] for m in metrics], [m[key] for m in metrics],
+                 "o-", linewidth=2, markersize=8)
+        plt.xlabel(f"Parameter {param_idx + 1} Value", fontsize=14)
+        plt.ylabel(ylabel, fontsize=14)
+        plt.grid(True, alpha=0.7)
+        plt.title(f"Parameter {param_idx + 1} Value vs. {ylabel.split(' ')[0]}",
+                  fontsize=16, fontweight="bold")
+    plt.tight_layout()
+    plt.savefig(
+        os.path.join(output_dir, f"parameter_{param_idx + 1}_metrics.png"),
+        dpi=300, bbox_inches="tight",
+    )
+    plt.close()
+
+
+def plot_sensitivity_grid(
+    images: np.ndarray,  # (num_params, 5, H, W)
+    param_values: np.ndarray,
+    output_dir: str,
+    suptitle: str = "Power Spectrum",
+) -> None:
+    """num_params x 5 sensitivity figure (train_diffusion_paper.py:1107-1182;
+    the odd "Power Spectrum" suptitle is the reference's own)."""
+    num_params = images.shape[0]
+    fig, axs = plt.subplots(num_params, 5, figsize=(15, 3 * num_params))
+    axs = np.atleast_2d(axs)
+    for p in range(num_params):
+        for i in range(5):
+            axs[p, i].imshow(images[p, i], cmap="viridis")
+            axs[p, i].set_title(f"Param {p + 1} = {param_values[i]:.2f}", fontsize=12)
+            axs[p, i].axis("off")
+    fig.suptitle(suptitle, fontsize=18, fontweight="bold")
+    plt.tight_layout()
+    plt.savefig(os.path.join(output_dir, "parameter_sensitivity.png"), dpi=300,
+                bbox_inches="tight")
+    plt.close()
+
+
+def plot_example_maps_comparison(
+    camels_maps: np.ndarray,
+    model_maps: np.ndarray,
+    output_path: str,
+    top_label: str = "CAMELS",
+    bottom_label: str = "HI-CDM",
+) -> None:
+    """2x5 example maps figure (sample_power_spectra.py:319-336)."""
+    camels_maps = _to_bhw(camels_maps)
+    model_maps = _to_bhw(model_maps)
+    fig, axes = plt.subplots(2, 5, figsize=(15, 6))
+    for i in range(5):
+        axes[0, i].imshow(camels_maps[i], cmap="viridis")
+        axes[0, i].set_title(f"{top_label} {i + 1}")
+        axes[0, i].axis("off")
+        axes[1, i].imshow(model_maps[i], cmap="viridis")
+        axes[1, i].set_title(f"{bottom_label} {i + 1}")
+        axes[1, i].axis("off")
+    plt.tight_layout()
+    plt.savefig(output_path, dpi=300, bbox_inches="tight")
+    plt.close()
+
+
+def plot_log_spectrum_comparison(
+    k: np.ndarray,
+    camels_mean: np.ndarray,
+    camels_std: np.ndarray,
+    model_mean: np.ndarray,
+    model_std: np.ndarray,
+    params_dict: Dict[str, float],
+    output_path: str,
+) -> None:
+    """Log-bin comparison plot (sample_power_spectra.py:286-314)."""
+    plt.figure(figsize=(10, 8))
+    plt.plot(k, camels_mean, "r-", linewidth=2, label="CAMELS", alpha=0.8)
+    plt.fill_between(k, camels_mean - camels_std, camels_mean + camels_std,
+                     color="red", alpha=0.3)
+    plt.plot(k, model_mean, "b-", linewidth=2, label="Model", alpha=0.8)
+    plt.fill_between(k, model_mean - model_std, model_mean + model_std,
+                     color="blue", alpha=0.3)
+    plt.xscale("log")
+    plt.yscale("log")
+    plt.xlabel("k", fontsize=14)
+    plt.ylabel("P(k)", fontsize=14)
+    plt.legend(fontsize=12)
+    plt.grid(True, alpha=0.3)
+    param_text = ", ".join(f"{k_}={v}" for k_, v in params_dict.items())
+    plt.title(f"Power Spectrum Comparison\n{param_text}", fontsize=12)
+    plt.savefig(output_path, dpi=300, bbox_inches="tight")
+    plt.close()

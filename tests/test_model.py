@@ -1,0 +1,116 @@
+"""Unit tests: ContextUnet shapes, conditioning semantics, encode/decode split."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from camels_diffusion_model_tpu.models import ContextUnet, EmbedFC, count_params
+
+
+def _init(model, h, b=2):
+    x = np.zeros((b, h, h, 1), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, np.array([0.5], np.float32))
+    return variables
+
+
+def test_canonical_shapes():
+    model = ContextUnet(n_feat=8, n_cfeat=3, height=16, levels=2)
+    variables = _init(model, 16)
+    x = np.random.RandomState(0).randn(2, 16, 16, 1).astype(np.float32)
+    c = np.random.RandomState(1).rand(2, 3).astype(np.float32)
+    out = model.apply(variables, x, np.array([0.5], np.float32), c)
+    assert out.shape == (2, 16, 16, 1)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_deep_and_big_variants():
+    for factory in (ContextUnet.deep, ContextUnet.big):
+        model = factory(n_cfeat=2, n_feat=8, height=16)
+        assert model.levels == 3
+        variables = _init(model, 16)
+        x = np.random.RandomState(0).randn(1, 16, 16, 1).astype(np.float32)
+        out = np.asarray(
+            model.apply(variables, x, np.array([0.5], np.float32))
+        )
+        assert out.shape == (1, 16, 16, 1)
+        # tanh output head
+        assert out.min() >= -1.0 and out.max() <= 1.0
+
+
+def test_structure_canonical():
+    """Layer shapes mirror the reference architecture
+    (train_diffusion_paper.py:16-47) at n_feat=8, n_cfeat=3, h=16."""
+    model = ContextUnet(n_feat=8, n_cfeat=3, height=16, levels=2)
+    p = _init(model, 16)["params"]
+    n = 8
+    # init_conv: 1 -> n with learned 1x1 shortcut
+    assert p["init_conv"]["conv1"]["conv"]["kernel"].shape == (3, 3, 1, n)
+    assert p["init_conv"]["shortcut"]["kernel"].shape == (1, 1, 1, n)
+    # down path: n->n then n->2n
+    assert p["down1"]["block1"]["conv1"]["conv"]["kernel"].shape == (3, 3, n, n)
+    assert p["down2"]["block1"]["conv1"]["conv"]["kernel"].shape == (3, 3, n, 2 * n)
+    # embeds: t/c -> 2n and n
+    assert p["timeembed1"]["fc1"]["kernel"].shape == (1, 2 * n)
+    assert p["timeembed2"]["fc1"]["kernel"].shape == (1, n)
+    assert p["contextembed1"]["fc1"]["kernel"].shape == (3, 2 * n)
+    # up0: bottleneck 2n -> 2n with kernel h//4
+    assert p["up0_conv"]["kernel"].shape == (4, 4, 2 * n, 2 * n)
+    # up1 consumes 4n (2n up + 2n skip), up2 consumes 2n
+    assert p["up1"]["upconv"]["kernel"].shape == (2, 2, 4 * n, n)
+    assert p["up2"]["upconv"]["kernel"].shape == (2, 2, 2 * n, n)
+    # out head: 2n -> n -> 1
+    assert p["out_conv1"]["kernel"].shape == (3, 3, 2 * n, n)
+    assert p["out_conv2"]["kernel"].shape == (3, 3, n, 1)
+
+
+def test_none_context_equals_zeros(tiny_model_and_vars):
+    model, variables = tiny_model_and_vars
+    x = np.random.RandomState(0).randn(2, 16, 16, 1).astype(np.float32)
+    t = np.array([0.3], np.float32)
+    a = model.apply(variables, x, t)
+    b = model.apply(variables, x, t, np.zeros((2, 3), np.float32))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_encode_decode_matches_call(tiny_model_and_vars):
+    model, variables = tiny_model_and_vars
+    x = np.random.RandomState(0).randn(2, 16, 16, 1).astype(np.float32)
+    c = np.random.RandomState(1).rand(2, 3).astype(np.float32)
+    t = np.array([0.7], np.float32)
+    full = model.apply(variables, x, t, c)
+    enc = model.apply(variables, x, method="encode")
+    split = model.apply(variables, enc, t, c, method="decode")
+    np.testing.assert_allclose(np.asarray(full), np.asarray(split), atol=1e-6)
+
+
+def test_scalar_time_broadcasts(tiny_model_and_vars):
+    """A single normalized timestep broadcasts over the batch exactly like
+    per-sample identical timesteps (reference EmbedFC view(-1,1) semantics)."""
+    model, variables = tiny_model_and_vars
+    x = np.random.RandomState(0).randn(3, 16, 16, 1).astype(np.float32)
+    c = np.random.RandomState(1).rand(3, 3).astype(np.float32)
+    a = model.apply(variables, x, np.array([0.4], np.float32), c)
+    b = model.apply(variables, x, np.full((3,), 0.4, np.float32), c)
+    # XLA:CPU uses a slightly different vectorized erf for the two batch
+    # shapes (~1e-3); semantics, not bit-equality, is what's under test.
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-2)
+
+
+def test_embedfc_flatten():
+    m = EmbedFC(input_dim=4, emb_dim=6)
+    v = m.init(jax.random.PRNGKey(0), np.zeros((2, 4), np.float32))
+    out = m.apply(v, np.zeros((2, 2, 2), np.float32))  # flattens to (2, 4)
+    assert out.shape == (2, 6)
+
+
+def test_param_count_positive(tiny_model_and_vars):
+    model, variables = tiny_model_and_vars
+    n = count_params(variables)
+    assert n > 10_000
+
+
+def test_batch_stats_collection_exists(tiny_model_and_vars):
+    _, variables = tiny_model_and_vars
+    assert "batch_stats" in variables

@@ -1,0 +1,94 @@
+"""Tests: lax.scan sampler, save schedule, fused CFG equivalence."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from camels_diffusion_model_tpu import make_schedule, sample_ddpm, sample_ddpm_from_noise
+from camels_diffusion_model_tpu.diffusion.sampler import _predict_eps, _save_schedule
+
+
+def test_save_schedule_matches_reference_rule():
+    """Reference saves at i % 20 == 0, i == T, i < 8 (paper.py:617) iterating
+    i = T..1."""
+    T = 100
+    mask, slots, n = _save_schedule(T, 20)
+    steps = np.arange(T, 0, -1)
+    want = (steps % 20 == 0) | (steps == T) | (steps < 8)
+    np.testing.assert_array_equal(mask, want)
+    assert n == want.sum()
+    # slots are chronological 0..n-1 over saved steps
+    assert slots[mask][0] == 0 and slots[mask][-1] == n - 1
+    np.testing.assert_array_equal(np.diff(slots[mask]), 1)
+
+
+def test_save_schedule_t1500():
+    mask, _, n = _save_schedule(1500, 20)
+    # 75 multiples of 20, plus i==1500 is one of them, plus i in 1..7 -> 82
+    assert n == 75 + 7
+
+
+def test_sampler_shapes_and_determinism(tiny_model_and_vars):
+    model, variables = tiny_model_and_vars
+    sched = make_schedule(12)
+    rng = jax.random.PRNGKey(42)
+    params = np.random.RandomState(0).rand(2, 3).astype(np.float32)
+    out1 = sample_ddpm(model, variables, sched, rng, n_sample=2, size=16, params=params)
+    out2 = sample_ddpm(model, variables, sched, rng, n_sample=2, size=16, params=params)
+    assert out1.x.shape == (2, 16, 16, 1)
+    assert np.all(np.isfinite(np.asarray(out1.x)))
+    np.testing.assert_allclose(np.asarray(out1.x), np.asarray(out2.x))
+    # intermediates: steps 12..1 with save at %20==0 (none), ==12, <8 -> 1+7
+    assert out1.intermediate.shape[0] == 8
+    # last saved intermediate equals the final sample
+    np.testing.assert_allclose(
+        np.asarray(out1.intermediate[-1]), np.asarray(out1.x), atol=1e-6
+    )
+
+
+def test_cfg_fused_equals_two_forwards(tiny_model_and_vars):
+    model, variables = tiny_model_and_vars
+    x = np.random.RandomState(0).randn(2, 16, 16, 1).astype(np.float32)
+    params = np.random.RandomState(1).rand(2, 3).astype(np.float32)
+    t = np.array([0.5], np.float32)
+    w = 2.0
+    fused = _predict_eps(model, variables, x, t, jnp.asarray(params), True, w)
+    eps_c = model.apply(variables, x, t, params)
+    eps_u = model.apply(variables, x, t, np.zeros_like(params))
+    want = eps_u + w * (eps_c - eps_u)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(want), atol=1e-5)
+
+
+def test_cfg_sampler_runs(tiny_model_and_vars):
+    model, variables = tiny_model_and_vars
+    sched = make_schedule(6)
+    rng = jax.random.PRNGKey(0)
+    params = np.random.RandomState(0).rand(2, 3).astype(np.float32)
+    out = sample_ddpm(
+        model, variables, sched, rng, n_sample=2, size=16, params=params, guide_w=2.0
+    )
+    assert np.all(np.isfinite(np.asarray(out.x)))
+
+
+def test_from_noise_none_params(tiny_model_and_vars):
+    model, variables = tiny_model_and_vars
+    sched = make_schedule(6)
+    rng = jax.random.PRNGKey(0)
+    x_init = np.random.RandomState(0).randn(2, 16, 16, 1).astype(np.float32)
+    a = sample_ddpm_from_noise(model, variables, sched, rng, x_init, params=None)
+    b = sample_ddpm_from_noise(
+        model, variables, sched, rng, x_init,
+        params=np.zeros((2, 3), np.float32),
+    )
+    np.testing.assert_allclose(np.asarray(a.x), np.asarray(b.x), atol=1e-6)
+
+
+def test_random_params_when_none(tiny_model_and_vars):
+    model, variables = tiny_model_and_vars
+    sched = make_schedule(4)
+    out = sample_ddpm(
+        model, variables, sched, jax.random.PRNGKey(3), n_sample=2, size=16
+    )
+    assert np.all(np.isfinite(np.asarray(out.x)))
