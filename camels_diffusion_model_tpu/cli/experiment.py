@@ -143,6 +143,7 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
         height=cfg.height,
         test_size=test_size,
         seed=cfg.seed,
+        style=spec.data_style,
         param_index=cfg.param_index if spec.param_index_mode else None,
     )
     del raw_maps
@@ -155,13 +156,13 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
         logger.dataset_info(ds.info)
 
     # ---- model + optimizer ------------------------------------------------
-    model = ContextUnet(
-        in_channels=1,
-        n_feat=cfg.n_feat,
-        n_cfeat=cfg.n_cfeat,
-        height=cfg.height,
-        levels=2,
-        dtype=dtype,
+    factory = {
+        "canonical": ContextUnet.canonical,
+        "deep": ContextUnet.deep,
+        "big": ContextUnet.big,
+    }[spec.model_variant]
+    model = factory(
+        n_cfeat=cfg.n_cfeat, n_feat=cfg.n_feat, height=cfg.height, dtype=dtype
     )
     root_key = jax.random.PRNGKey(cfg.seed)
     init_key, train_key, eval_key, sample_key = jax.random.split(root_key, 4)
@@ -174,8 +175,8 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
     state = create_train_state(
         model, variables, cfg.lrate, cfg.n_epoch, steps_per_epoch
     )
-    train_step = make_train_step(model, cfg.timesteps)
-    eval_step = make_eval_step(model, cfg.timesteps)
+    train_step = make_train_step(model, cfg.timesteps, scaling=spec.q_scaling)
+    eval_step = make_eval_step(model, cfg.timesteps, scaling=spec.q_scaling)
 
     start_epoch = 0
     ckpt_path = os.path.join(save_dir, "train_state.msgpack")
@@ -395,16 +396,39 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
     }
 
     # ---- reconstruction (train_diffusion_paper.py:772-806) ----------------
+    # (main.py instead samples fresh maps from pure noise, :197-205)
     if spec.timing_log:
         logger.sampling_header()
     sample_key, nkey, rkey = jax.random.split(sample_key, 3)
-    noise = jax.random.normal(nkey, selected_images.shape, jnp.float32)
-    x_fwd = q_sample(schedule, jnp.asarray(selected_images), cfg.timesteps, noise)
-    recon = sample_ddpm_from_noise(
-        model, inference_vars, schedule, rkey, x_fwd,
-        params=jnp.asarray(selected_params) if spec.conditional else None,
-    )
+    if spec.pure_noise_sampling:
+        recon = sample_ddpm(
+            model, inference_vars, schedule, rkey,
+            n_sample=cfg.n_eval_images, size=cfg.height,
+            params=jnp.zeros((cfg.n_eval_images, cfg.n_cfeat), jnp.float32),
+        )
+    else:
+        from ..diffusion.schedule import NoiseScaling
+
+        scaling = (
+            NoiseScaling.REFERENCE
+            if spec.q_scaling == "reference"
+            else NoiseScaling.STANDARD
+        )
+        noise = jax.random.normal(nkey, selected_images.shape, jnp.float32)
+        x_fwd = q_sample(
+            schedule, jnp.asarray(selected_images), cfg.timesteps, noise,
+            scaling=scaling,
+        )
+        recon = sample_ddpm_from_noise(
+            model, inference_vars, schedule, rkey, x_fwd,
+            params=jnp.asarray(selected_params) if spec.conditional else None,
+        )
     recon_x = np.asarray(recon.x)
+    if spec.model_variant in ("deep", "big"):
+        # tanh-output variants display in [0,1] via (x+1)/2 (main.py:254)
+        recon_x_display = (recon_x + 1.0) / 2.0
+    else:
+        recon_x_display = recon_x
     if spec.timing_log:
         logger.reconstruction_perf(
             len(selected_images), recon.sampling_time,
@@ -415,7 +439,9 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
             np.asarray(recon.intermediate[idx]),
             os.path.join(output_dir, f"intermediate_step_{idx}.png"),
         )
-    viz.save_image_grid(recon_x, os.path.join(output_dir, "reconstructed_images.png"))
+    viz.save_image_grid(
+        recon_x_display, os.path.join(output_dir, "reconstructed_images.png")
+    )
     if spec.viridis:
         viz.visualize_viridis_style(
             recon_x, os.path.join(output_dir, "reconstructed_images_viridis.png")

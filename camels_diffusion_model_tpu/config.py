@@ -43,6 +43,14 @@ class ModeSpec:
     sensitivity: bool = True  # per-parameter sensitivity rows
     training_metrics_figure: bool = False  # 4-panel training_metrics.png
     val_nll_only: bool = False  # spectrum_final: NLL on the test split only
+    # Model/data selection (legacy root-level variants):
+    model_variant: str = "canonical"  # "canonical" | "deep" | "big"
+    data_style: str = "code"  # normalization recipe (data.pipeline)
+    q_scaling: str = "reference"  # training q_sample scaling (NoiseScaling)
+    def_height: int = 64
+    def_n_feat: int = 128
+    def_n_cfeat: int = 0  # 0 -> num_params (conditional) / 5 (uncond default)
+    pure_noise_sampling: bool = False  # main.py: sample from noise, not recon
 
 
 # Registry matching SURVEY §2.7 / the reference's script roster.
@@ -124,6 +132,63 @@ MODES = {
         styled_plots=False,
         training_metrics_figure=True,
     ),
+    # initial.py — early 128x128 unconditional 3-level variant (:15-75,
+    # z-score+clip normalization :114-126, prefix :88-89)
+    "initial": ModeSpec(
+        name="initial",
+        prefix="lr_{lrate}_epochs_{n_epoch}_timesteps_{timesteps}",
+        conditional=False,
+        timing_log=False,
+        track_val_mse=False,
+        param_grid=False,
+        guidance_sweep=False,
+        sensitivity=False,
+        model_variant="deep",
+        data_style="initial",
+        def_height=128,
+    ),
+    # initial2.py — 64x64 unconditional variant (prefix :79)
+    "initial2": ModeSpec(
+        name="initial2",
+        prefix="BIGmassnoiselr_{lrate}_epochs_{n_epoch}_timesteps_{timesteps}",
+        conditional=False,
+        timing_log=False,
+        track_val_mse=False,
+        mean_correction=True,
+        param_grid=False,
+        guidance_sweep=False,
+        sensitivity=False,
+    ),
+    # main.py — "big" n_feat=256 128x128 variant with STANDARD q_sample
+    # scaling (main.py:156) and fresh-noise sampling (:197-205)
+    "main": ModeSpec(
+        name="main",
+        prefix="lr_{lrate}_epochs_{n_epoch}_timesteps_{timesteps}",
+        conditional=False,
+        timing_log=False,
+        track_val_mse=False,
+        param_grid=False,
+        guidance_sweep=False,
+        sensitivity=False,
+        model_variant="big",
+        data_style="big",
+        q_scaling="standard",
+        def_height=128,
+        def_n_feat=256,
+        def_n_cfeat=10,
+        pure_noise_sampling=True,
+    ),
+    # 26thNovCode.py — minimal unconditional variant (prefix :83)
+    "nov26": ModeSpec(
+        name="nov26",
+        prefix="lr_{lrate}_epochs_{n_epoch}_timesteps_{timesteps}",
+        conditional=False,
+        timing_log=False,
+        track_val_mse=False,
+        param_grid=False,
+        guidance_sweep=False,
+        sensitivity=False,
+    ),
     # code/train_diffusion_spectrum_indiv.py (:158)
     "spectrum_indiv": ModeSpec(
         name="spectrum_indiv",
@@ -177,14 +242,26 @@ class ExperimentConfig:
     resume: bool = False
     mesh_devices: Optional[int] = None  # data-parallel device count (None=all)
 
+    def __post_init__(self):
+        # Apply the mode's model defaults unless explicitly overridden
+        # (class defaults are the canonical 64x64 / n_feat=128 values).
+        spec = MODES[self.mode]
+        if self.height == 64 and spec.def_height != 64:
+            self.height = spec.def_height
+        if self.n_feat == 128 and spec.def_n_feat != 128:
+            self.n_feat = spec.def_n_feat
+
     @property
     def spec(self) -> ModeSpec:
         return MODES[self.mode]
 
     @property
     def n_cfeat(self) -> int:
-        # Unconditional script still builds the model with n_cfeat=5 and a
-        # zero context (train_diffusion.py:90).
+        # Unconditional scripts still build the model with a zero context
+        # vector: n_cfeat=5 (train_diffusion.py:90) or the variant's own
+        # default (main.py: n_cfeat=10).
+        if self.spec.def_n_cfeat:
+            return self.spec.def_n_cfeat
         return 5 if not self.spec.conditional else self.num_params
 
     @property

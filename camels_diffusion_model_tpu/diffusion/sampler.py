@@ -70,51 +70,61 @@ def _predict_eps(model, variables, x, t_norm, params, use_cfg: bool, guide_w):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "use_cfg", "n_saves"),
+    static_argnames=("model", "use_cfg", "timesteps"),
+    donate_argnums=(5, 6),  # x, buf — carried across chunk calls in-place
 )
-def _sample_scan(
+def _sample_scan_chunk(
     model,
     variables,
     schedule_beta,
     schedule_alpha,
     schedule_alpha_bar,
-    x_init,
+    x,
+    buf,
     params,
     guide_w,
     rng,
     steps,
-    save_mask,
-    save_slots,
+    write_slots,
     *,
     use_cfg: bool,
-    n_saves: int,
+    timesteps: int,
 ):
-    timesteps = steps.shape[0]
+    """Scan over one contiguous chunk of the reversed step sequence.
+
+    The full T-step loop is split into fixed-size chunks executed by repeated
+    calls of this one compiled function (host carries (x, buf, rng) between
+    calls, buffers donated so nothing is copied).  Chunking bounds single-
+    device-call wall time — long monolithic executions are fragile over
+    tunneled/preemptible TPU runtimes — at zero per-step cost.
+    """
     sched = DDPMSchedule(
         beta=schedule_beta,
         alpha=schedule_alpha,
         alpha_bar=schedule_alpha_bar,
         timesteps=timesteps,
     )
-    buf = jnp.zeros((n_saves,) + x_init.shape, x_init.dtype)
 
     def body(carry, xs):
         x, buffer, key = carry
-        i, save, slot = xs
+        i, slot = xs
         key, zkey = jax.random.split(key)
         z = jax.random.normal(zkey, x.shape, x.dtype)
         z = jnp.where(i > 1, z, jnp.zeros_like(z))
         t_norm = (i / timesteps).astype(jnp.float32).reshape(1)
         eps = _predict_eps(model, variables, x, t_norm, params, use_cfg, guide_w)
         x = p_sample_step(sched, x, i, eps.astype(x.dtype), z)
-        updated = jax.lax.dynamic_update_slice(
+        # Unconditional dynamic-update-slice (non-saving steps target an
+        # overflow row) — XLA keeps it in-place; a where(save, ...) would copy
+        # the whole intermediate buffer every step (~170 MB HBM traffic/step
+        # at production batch sizes).
+        buffer = jax.lax.dynamic_update_slice(
             buffer, x[None], (slot,) + (0,) * x.ndim
         )
-        buffer = jnp.where(save, updated, buffer)
         return (x, buffer, key), None
 
-    (x, buf, _), _ = jax.lax.scan(body, (x_init, buf, rng), (steps, save_mask, save_slots))
-    return x, buf
+    (x, buf, key), _ = jax.lax.scan(body, (x, buf, rng), (steps, write_slots))
+    return x, buf, key
 
 
 def sample_ddpm(
@@ -167,32 +177,66 @@ def sample_ddpm_from_noise(
     )
 
 
-def _run(model, variables, schedule, rng, x_init, params, guide_w, save_rate):
+import os as _os
+
+# Max reverse steps executed per device call (see _sample_scan_chunk).
+DEFAULT_STEPS_PER_CALL = int(_os.environ.get("CAMELS_SAMPLER_CHUNK", "250"))
+
+
+def _run(
+    model,
+    variables,
+    schedule,
+    rng,
+    x_init,
+    params,
+    guide_w,
+    save_rate,
+    steps_per_call: Optional[int] = None,
+):
     timesteps = schedule.timesteps
     mask, slots, n_saves = _save_schedule(timesteps, save_rate)
-    steps = jnp.arange(timesteps, 0, -1, dtype=jnp.int32)
+    steps = np.arange(timesteps, 0, -1, dtype=np.int32)
+    write_slots = np.where(mask, slots, n_saves).astype(np.int32)
     use_cfg = float(guide_w) > 0.0
+    chunk = min(timesteps, steps_per_call or DEFAULT_STEPS_PER_CALL)
+    n_chunks = -(-timesteps // chunk)
+    # First chunk takes the remainder so at most two shapes compile.
+    first = timesteps - (n_chunks - 1) * chunk
 
     t0 = time.time()
-    x, buf = _sample_scan(
-        model,
-        variables,
-        schedule.beta,
-        schedule.alpha,
-        schedule.alpha_bar,
-        x_init,
-        params,
-        jnp.float32(guide_w),
-        rng,
-        steps,
-        jnp.asarray(mask),
-        jnp.asarray(slots),
-        use_cfg=use_cfg,
-        n_saves=n_saves,
-    )
-    x = jax.block_until_ready(x)
+    x = jnp.asarray(x_init)
+    buf = jnp.zeros((n_saves + 1,) + x.shape, x.dtype)
+    key = rng
+    w = jnp.float32(guide_w)
+    start = 0
+    for ci in range(n_chunks):
+        size = first if ci == 0 else chunk
+        x, buf, key = _sample_scan_chunk(
+            model,
+            variables,
+            schedule.beta,
+            schedule.alpha,
+            schedule.alpha_bar,
+            x,
+            buf,
+            params,
+            w,
+            key,
+            jnp.asarray(steps[start : start + size]),
+            jnp.asarray(write_slots[start : start + size]),
+            use_cfg=use_cfg,
+            timesteps=timesteps,
+        )
+        start += size
+    # A dependent-scalar host read is the completion barrier: on the
+    # experimental tunneled-TPU platform, block_until_ready can return before
+    # the computation has actually finished, which would corrupt the
+    # wall-clock numbers written to timing_and_performance.log.
+    jax.block_until_ready(x)
+    _ = float(x.reshape(-1)[0])
     total = time.time() - t0
     per_step = np.full((timesteps,), total / timesteps, np.float64)
     return SamplerOutput(
-        x=x, intermediate=buf, sampling_time=total, timestep_times=per_step
+        x=x, intermediate=buf[:n_saves], sampling_time=total, timestep_times=per_step
     )

@@ -66,7 +66,13 @@ def create_train_state(
     )
 
 
-def make_train_step(model, timesteps: int):
+def _noise_coeff(ab, scaling: str):
+    """q_sample noise coefficient: REFERENCE uses (1-ab) (paper.py:320-321),
+    STANDARD uses sqrt(1-ab) (main.py:156)."""
+    return (1.0 - ab) if scaling == "reference" else jnp.sqrt(1.0 - ab)
+
+
+def make_train_step(model, timesteps: int, scaling: str = "reference"):
     """Build the jitted train step.
 
     step(state, x, c, rng) -> (state, metrics) with metrics
@@ -86,9 +92,8 @@ def make_train_step(model, timesteps: int):
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
-            # REFERENCE q_sample scaling: sqrt(ab)x + (1-ab)n  (:320-321)
             ab = alpha_bar[t][:, None, None, None]
-            x_pert = jnp.sqrt(ab) * x + (1.0 - ab) * noise
+            x_pert = jnp.sqrt(ab) * x + _noise_coeff(ab, scaling) * noise
             out, mutated = model.apply(
                 variables,
                 x_pert,
@@ -112,7 +117,7 @@ def make_train_step(model, timesteps: int):
     return train_step
 
 
-def make_eval_step(model, timesteps: int):
+def make_eval_step(model, timesteps: int, scaling: str = "reference"):
     """Validation MSE step (train_diffusion_paper.py:392-404): random
     timesteps, reference q_sample, batch-mean MSE."""
     from ..diffusion.schedule import make_schedule
@@ -126,7 +131,7 @@ def make_eval_step(model, timesteps: int):
         t = jax.random.randint(tkey, (b,), 1, timesteps + 1)
         noise = jax.random.normal(nkey, x.shape, x.dtype)
         ab = alpha_bar[t][:, None, None, None]
-        x_pert = jnp.sqrt(ab) * x + (1.0 - ab) * noise
+        x_pert = jnp.sqrt(ab) * x + _noise_coeff(ab, scaling) * noise
         out = model.apply(
             {"params": params, "batch_stats": batch_stats},
             x_pert,

@@ -9,6 +9,9 @@ import os
 import sys
 
 # Force CPU even if the shell presets JAX_PLATFORMS (e.g. to a TPU plugin).
+# NOTE: some PJRT plugins override the env var during discovery, so the
+# authoritative switch is jax.config.update in pytest_configure below; the
+# env vars are belt-and-braces for subprocesses.
 os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
@@ -28,6 +31,13 @@ def pytest_configure(config):
     import jax
 
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # Authoritative platform/device-count selection (JAX >= 0.7): config
+    # wins over env vars even when a TPU PJRT plugin hijacks JAX_PLATFORMS.
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_num_cpu_devices", 8)
+    except Exception:
+        pass  # backend already initialized — XLA_FLAGS fallback applies
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,133 @@
+"""Integration smoke tests: the unified experiment runner end-to-end on tiny
+synthetic data (BASELINE config 1 analogue), per mode family."""
+
+import os
+
+import numpy as np
+import pytest
+
+from camels_diffusion_model_tpu.config import MODES, ExperimentConfig, config_from_argv
+from camels_diffusion_model_tpu.cli import run_experiment
+
+
+def _tiny_cfg(mode, tmp_path, **kw):
+    base = dict(
+        mode=mode,
+        lrate=1e-4,
+        n_epoch=2,
+        timesteps=6,
+        num_params=2,
+        n_feat=8,
+        height=16,
+        batch_size=16,
+        synthetic_param_sets=3,
+        data_size=32,
+        output_root=str(tmp_path),
+        elbo_subset=16,
+        nll_subset=8,
+        n_eval_images=5,
+    )
+    base.update(kw)
+    return ExperimentConfig(**base)
+
+
+def test_config_from_argv_forms():
+    cfg = config_from_argv("paper", ["1e-5", "100", "1500", "6"])
+    assert cfg.lrate == 1e-5 and cfg.num_params == 6
+    assert cfg.output_tag == "paper_lr_1e-05_epochs_100_timesteps_1500_params_6"
+    cfg3 = config_from_argv("uncond", ["1e-5", "100", "1500"])
+    assert cfg3.output_tag == "BIGnoiselr_1e-05_epochs_100_timesteps_1500"
+    cfgi = config_from_argv("spectrum_indiv", ["1e-5", "100", "1500", "3"])
+    assert cfgi.param_index == 3 and cfgi.num_params == 1
+    assert cfgi.output_tag == "spectrum_lr_1e-05_epochs_100_timesteps_1500_param_3"
+
+
+def test_all_mode_prefixes_match_reference():
+    want = {
+        "uncond": "BIGnoiselr_",
+        "condition": "conditional_lr_",
+        "condition_viridis": "conditional_lr_",
+        "likelihood": "likelihood_lr_",
+        "elbo": "elbo_bpd_lr_",
+        "paper": "paper_lr_",
+        "spectrum_final": "elbo_bpd_lr_",
+        "spectrum_indiv": "spectrum_lr_",
+    }
+    for mode, prefix in want.items():
+        assert MODES[mode].prefix.startswith(prefix.rstrip("_").split("{")[0])
+
+
+@pytest.mark.slow
+def test_uncond_mode_smoke(tmp_path):
+    res = run_experiment(_tiny_cfg("uncond", tmp_path))
+    out = res["output_dir"]
+    for f in [
+        "processed_images.png",
+        "loss_plot.png",
+        "reconstructed_images.png",
+        "distribution_comparison.png",
+        "means.txt",
+        "corrected_means.txt",
+        "corrected_reconstructed_images.png",
+    ]:
+        assert os.path.exists(os.path.join(out, f)), f
+    assert "mean_ratio" in res
+
+
+@pytest.mark.slow
+def test_paper_mode_smoke(tmp_path):
+    res = run_experiment(_tiny_cfg("paper", tmp_path))
+    out = res["output_dir"]
+    for f in [
+        "timing_and_performance.log",
+        "dataset_info.txt",
+        "selected_params.txt",
+        "test_images.png",
+        "param_min.npy",
+        "param_max.npy",
+        "training_metrics.png",
+        "reconstructed_images.png",
+        "reconstruction_comparison_viridis.png",
+        "distribution_comparison.png",
+        "parameter_grid_samples_2params.png",
+        "guidance_strength_samples.png",
+        "guidance_metrics.png",
+        "parameter_sensitivity.png",
+        "parameter_1_metrics.png",
+        os.path.join("weights", "model_epoch_2.msgpack"),
+    ]:
+        assert os.path.exists(os.path.join(out, f)), f
+    log = open(os.path.join(out, "timing_and_performance.log")).read()
+    assert "=== Diffusion Model Training and Sampling Timing Log ===" in log
+    assert "Epoch 1/2 completed in" in log
+    assert "Validation Loss:" in log
+    assert "=== Training Complete ===" in log
+    assert "=== Sampling Performance ===" in log
+    assert "Guidance strength" in log
+    assert "sensitivity metrics" in log
+
+
+@pytest.mark.slow
+def test_spectrum_indiv_mode_smoke(tmp_path):
+    res = run_experiment(
+        _tiny_cfg("spectrum_indiv", tmp_path, num_params=1, param_index=2)
+    )
+    out = res["output_dir"]
+    for f in [
+        "param_index.npy",
+        "power_spectrum_comparison.png",
+        "training_metrics.png",
+    ]:
+        assert os.path.exists(os.path.join(out, f)), f
+    assert int(np.load(os.path.join(out, "param_index.npy"))) == 2
+    assert "pk_ratio" in res
+
+
+@pytest.mark.slow
+def test_resume_from_checkpoint(tmp_path):
+    cfg = _tiny_cfg("condition", tmp_path, n_epoch=2, ckpt_every=1)
+    run_experiment(cfg)
+    cfg2 = _tiny_cfg("condition", tmp_path, n_epoch=3, ckpt_every=1, resume=True)
+    res = run_experiment(cfg2)
+    # Resumed at epoch 2, trained 1 more epoch
+    assert len(res["epoch_times"]) == 1
