@@ -148,6 +148,16 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
     )
     del raw_maps
 
+    # Unconditional modes train with a zero context vector of the model's
+    # n_cfeat width (reference: model called with c=None -> zeros,
+    # train_diffusion.py:147 + :54-55); the dataset's parameter columns are
+    # ignored there.
+    if spec.conditional:
+        train_c, test_c = ds.train_c, ds.test_c
+    else:
+        train_c = np.zeros((ds.n_train, cfg.n_cfeat), np.float32)
+        test_c = np.zeros((ds.n_test, cfg.n_cfeat), np.float32)
+
     if spec.conditional:
         np.save(os.path.join(output_dir, "param_min.npy"), ds.param_min)
         np.save(os.path.join(output_dir, "param_max.npy"), ds.param_max)
@@ -224,7 +234,7 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
         epoch_bpd = 0.0
         n_b = 0
         for bx, bc in batch_iterator(
-            ds.train_x, ds.train_c, cfg.batch_size, rng=epoch_rng
+            ds.train_x, train_c, cfg.batch_size, rng=epoch_rng
         ):
             train_key, step_key = jax.random.split(train_key)
             state, metrics = train_step(state, bx, bc, step_key)
@@ -269,7 +279,7 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
             val_loss = 0.0
             v_b = 0
             for bx, bc in batch_iterator(
-                ds.test_x, ds.test_c, cfg.batch_size, shuffle=False
+                ds.test_x, test_c, cfg.batch_size, shuffle=False
             ):
                 eval_key, k = jax.random.split(eval_key)
                 val_loss += float(eval_step(state.params, state.batch_stats, bx, bc, k))
@@ -283,14 +293,14 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
             if spec.eval_elbo and not spec.per_batch_elbo:
                 eval_key, k1, k2 = jax.random.split(eval_key, 3)
                 train_batches = _subset_batches(
-                    ds.train_x, ds.train_c, cfg.elbo_subset, cfg.batch_size, eval_np_rng
+                    ds.train_x, train_c, cfg.elbo_subset, cfg.batch_size, eval_np_rng
                 )
                 train_elbo, train_bpd = calculate_elbo_and_bpd(
                     model, inference_vars, schedule, train_batches, k1,
                     dims=dims, batch_size=cfg.batch_size,
                 )
                 val_batches = list(
-                    batch_iterator(ds.test_x, ds.test_c, cfg.batch_size, shuffle=False)
+                    batch_iterator(ds.test_x, test_c, cfg.batch_size, shuffle=False)
                 )
                 val_elbo, val_bpd = calculate_elbo_and_bpd(
                     model, inference_vars, schedule, val_batches, k2,
@@ -307,7 +317,7 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
                     train_nll = calculate_likelihood(
                         model, inference_vars, schedule,
                         _subset_batches(
-                            ds.train_x, ds.train_c, cfg.nll_subset,
+                            ds.train_x, train_c, cfg.nll_subset,
                             cfg.batch_size, eval_np_rng,
                         ),
                         k1, batch_size=cfg.batch_size,
@@ -316,7 +326,7 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
                 val_nll = calculate_likelihood(
                     model, inference_vars, schedule,
                     _subset_batches(
-                        ds.test_x, ds.test_c, cfg.nll_subset,
+                        ds.test_x, test_c, cfg.nll_subset,
                         cfg.batch_size, eval_np_rng,
                     ),
                     k2, batch_size=cfg.batch_size,
