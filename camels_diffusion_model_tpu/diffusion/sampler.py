@@ -37,6 +37,13 @@ import numpy as np
 from .schedule import DDPMSchedule, p_sample_step
 
 
+# Opt-in fused Pallas ancestral-update kernel (ops/pallas/sampler_step.py).
+# The update is a small elementwise op next to the model forward, so this is
+# off by default; it exists to guarantee single-pass HBM traffic when XLA's
+# fusion decisions around the scan body regress.
+_USE_PALLAS_STEP = __import__("os").environ.get("CAMELS_PALLAS_STEP", "0") == "1"
+
+
 class SamplerOutput(NamedTuple):
     x: jax.Array  # final samples, (B, H, W, C)
     intermediate: jax.Array  # saved states, (n_saves, B, H, W, C)
@@ -113,7 +120,15 @@ def _sample_scan_chunk(
         z = jnp.where(i > 1, z, jnp.zeros_like(z))
         t_norm = (i / timesteps).astype(jnp.float32).reshape(1)
         eps = _predict_eps(model, variables, x, t_norm, params, use_cfg, guide_w)
-        x = p_sample_step(sched, x, i, eps.astype(x.dtype), z)
+        if _USE_PALLAS_STEP and (x.size % 128 == 0):
+            from ..ops.pallas.sampler_step import fused_p_sample_step
+
+            x = fused_p_sample_step(
+                sched.beta, sched.alpha, sched.alpha_bar,
+                x, i, eps.astype(x.dtype), z,
+            )
+        else:
+            x = p_sample_step(sched, x, i, eps.astype(x.dtype), z)
         # Unconditional dynamic-update-slice (non-saving steps target an
         # overflow row) — XLA keeps it in-place; a where(save, ...) would copy
         # the whole intermediate buffer every step (~170 MB HBM traffic/step
