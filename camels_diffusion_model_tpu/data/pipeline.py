@@ -157,9 +157,21 @@ def load_camels_dataset(
     cond, pmin, pmax = normalize_params(
         params, n_maps, num_params, expand=expand, param_index=param_index
     )
-    data = normalize_maps(maps, style=style).astype(np.float32)
+    # Multithreaded C++ fast path for the hot host-prep (native/camels_prep.cpp);
+    # numpy fallback is numerically equivalent (tests/test_native_prep.py).
+    from . import native_prep
+
+    use_native = style == "code" and native_prep.available()
+    if use_native:
+        data = native_prep.normalize_maps_native(maps)
+    else:
+        data = normalize_maps(maps, style=style).astype(np.float32)
     if data.shape[1] != height or data.shape[2] != height:
-        data = resize_maps_np(data, height)
+        data = (
+            native_prep.resize_maps_native(data, height)
+            if use_native
+            else resize_maps_np(data, height)
+        )
     data = data[..., None]  # NHWC
 
     train_idx, test_idx, perm = train_test_split(n_maps, test_size, seed)
