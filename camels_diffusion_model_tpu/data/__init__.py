@@ -7,8 +7,11 @@ from .pipeline import (
     train_test_split,
 )
 from .synthetic import synthetic_camels
+from .map_dataset import MapDataset, verify_dataset
 
 __all__ = [
+    "MapDataset",
+    "verify_dataset",
     "CamelsDataset",
     "load_camels_dataset",
     "normalize_maps",

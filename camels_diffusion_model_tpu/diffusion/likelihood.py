@@ -112,6 +112,32 @@ def elbo_per_batch(beta, alpha_bar, mse_per_sample: jax.Array, t: jax.Array) -> 
     return jnp.mean(weight * mse_per_sample)
 
 
+@functools.partial(jax.jit, static_argnames=("model",))
+def elbo_full_trajectory_batch(model, variables, beta, alpha_bar, x, c, rng):
+    """Full-trajectory ELBO over every t=1..T as one ``lax.scan``
+    (the reference's commented-out evaluation form,
+    diffusion_utilities.py:490-518: weight ``0.5*(1/(1-ab_t)-1)``, averaged
+    over timesteps).  Returns per-sample elbo (B,)."""
+    timesteps = beta.shape[0] - 1
+
+    def body(carry, t):
+        acc, key = carry
+        key, nkey = jax.random.split(key)
+        noise = jax.random.normal(nkey, x.shape, x.dtype)
+        x_t = jnp.sqrt(alpha_bar[t]) * x + (1.0 - alpha_bar[t]) * noise
+        t_norm = (t / timesteps).astype(jnp.float32).reshape(1)
+        pred = model.apply(variables, x_t, t_norm, c)
+        mse = _per_sample_mse(pred, noise)
+        weight = 0.5 * (1.0 / (1.0 - alpha_bar[t]) - 1.0)
+        return (acc + weight * mse, key), None
+
+    ts = jnp.arange(1, timesteps + 1, dtype=jnp.int32)
+    (acc, _), _ = jax.lax.scan(
+        body, (jnp.zeros(x.shape[0], jnp.float32), rng), ts
+    )
+    return acc / timesteps
+
+
 def _pad_batch(x: np.ndarray, c: np.ndarray, batch_size: int):
     """Zero-pad a partial batch to ``batch_size``; returns (x, c, n_real)."""
     n = x.shape[0]

@@ -161,6 +161,37 @@ def calculate_power_spectrum_2d_batch(maps, dl: float = 1.0):
     return k_centers, pk
 
 
+def compare_power_spectra(
+    original_images,
+    generated_images,
+    output_dir: str,
+    dl: float = 1.0,
+    title: str = "Power Spectrum Comparison",
+):
+    """Full compare-and-plot convenience (diffusion_utilities.py:370-448
+    contract): per-image linear-bin spectra of both batches, mean±std
+    log-log figure saved to ``output_dir/power_spectrum_comparison.png``,
+    returns ``(k, orig_pk_mean, gen_pk_mean)``.
+
+    Accepts (B, H, W) or NHWC batches.
+    """
+    import numpy as _np
+
+    def _bhw(a):
+        a = _np.asarray(a)
+        return a[..., 0] if a.ndim == 4 else a
+
+    k, om, os_, gm, gs = compare_power_spectra_stats(
+        _bhw(original_images), _bhw(generated_images), dl
+    )
+    from ..utils import viz
+
+    viz.plot_power_spectrum_comparison(
+        k, om, os_, gm, gs, output_dir, title=title
+    )
+    return k, om, gm
+
+
 def compare_power_spectra_stats(original_maps, generated_maps, dl: float = 1.0):
     """Mean/std per-image linear-bin spectra of two batches
     (compute part of diffusion_utilities.py:370-448).

@@ -319,6 +319,60 @@ def plot_sensitivity_grid(
     plt.close()
 
 
+def plot_grid(x: np.ndarray, n_sample: int, n_rows: int, save_dir: str, w) -> None:
+    """Per-image-normalized grid PNG (diffusion_utilities.py:187-193)."""
+    from .image_norm import norm_batch
+
+    path = os.path.join(save_dir, f"run_image_w{w}.png")
+    save_image_grid(norm_batch(_to_bhw(x)[..., None]), path, nrow=n_sample // n_rows)
+
+
+def plot_sample_gif(
+    x_gen_store: np.ndarray,
+    n_sample: int,
+    nrows: int,
+    save_dir: str,
+    fn: str,
+    w,
+    save: bool = False,
+):
+    """Denoising-trajectory GIF via FuncAnimation
+    (diffusion_utilities.py:195-217).  x_gen_store: (T, S, H, W[, C])."""
+    from matplotlib.animation import FuncAnimation, PillowWriter
+
+    from .image_norm import norm_all
+
+    store = np.asarray(x_gen_store)
+    if store.ndim == 4:
+        store = store[..., None]
+    ncols = n_sample // nrows
+    nstore = norm_all(store, store.shape[0], n_sample)
+    fig, axs = plt.subplots(
+        nrows=nrows, ncols=ncols, sharex=True, sharey=True, figsize=(ncols, nrows)
+    )
+    axs = np.atleast_2d(axs)
+
+    def animate_diff(i, store_):
+        plots = []
+        for row in range(nrows):
+            for col in range(ncols):
+                axs[row, col].clear()
+                axs[row, col].set_xticks([])
+                axs[row, col].set_yticks([])
+                plots.append(axs[row, col].imshow(store_[i, (row * ncols) + col, ..., 0]))
+        return plots
+
+    ani = FuncAnimation(
+        fig, animate_diff, fargs=[nstore], interval=200, blit=False,
+        repeat=True, frames=nstore.shape[0],
+    )
+    plt.close()
+    if save:
+        path = os.path.join(save_dir, f"{fn}_w{w}.gif")
+        ani.save(path, dpi=100, writer=PillowWriter(fps=5))
+    return ani
+
+
 def plot_example_maps_comparison(
     camels_maps: np.ndarray,
     model_maps: np.ndarray,
