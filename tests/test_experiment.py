@@ -124,6 +124,28 @@ def test_spectrum_indiv_mode_smoke(tmp_path):
 
 
 @pytest.mark.slow
+def test_legacy_variant_modes_smoke(tmp_path):
+    """initial.py (deep/LeakyReLU/tanh) and main.py (big/GELU/tanh, STANDARD
+    q_sample, fresh-noise sampling) variants run end-to-end."""
+    res_i = run_experiment(
+        _tiny_cfg("initial", tmp_path / "i", height=16, n_feat=8)
+    )
+    assert os.path.basename(res_i["output_dir"]).startswith("lr_")
+    res_m = run_experiment(_tiny_cfg("main", tmp_path / "m", height=16, n_feat=8))
+    assert os.path.exists(os.path.join(res_m["output_dir"], "reconstructed_images.png"))
+
+
+def test_legacy_mode_defaults():
+    cfg = config_from_argv("main", ["1e-5", "10", "100"])
+    assert cfg.height == 128 and cfg.n_feat == 256 and cfg.n_cfeat == 10
+    assert cfg.spec.q_scaling == "standard"
+    cfg2 = config_from_argv("initial", ["1e-5", "10", "100"])
+    assert cfg2.height == 128 and cfg2.spec.model_variant == "deep"
+    cfg3 = config_from_argv("initial2", ["1e-5", "10", "100"])
+    assert cfg3.output_tag.startswith("BIGmassnoiselr_")
+
+
+@pytest.mark.slow
 def test_resume_from_checkpoint(tmp_path):
     cfg = _tiny_cfg("condition", tmp_path, n_epoch=2, ckpt_every=1)
     res1 = run_experiment(cfg)
