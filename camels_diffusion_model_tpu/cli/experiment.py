@@ -188,6 +188,26 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
     train_step = make_train_step(model, cfg.timesteps, scaling=spec.q_scaling)
     eval_step = make_eval_step(model, cfg.timesteps, scaling=spec.q_scaling)
 
+    # ---- data-parallel mesh (multi-chip) -----------------------------------
+    # Params/opt state replicated; batches sharded over the "data" axis; XLA
+    # inserts psum grad reductions + global BatchNorm stats over ICI.
+    mesh = None
+    n_dev = len(jax.devices())
+    if cfg.mesh_devices or n_dev > 1:
+        from ..parallel import make_mesh, replicate, shard_batch
+
+        mesh = make_mesh(cfg.mesh_devices)
+        state = replicate(mesh, state)
+        n_dev = mesh.devices.size
+        print(f"Data-parallel over {n_dev} devices")
+
+    def maybe_shard(bx, bc):
+        if mesh is not None and bx.shape[0] % n_dev == 0:
+            from ..parallel import shard_batch
+
+            return shard_batch(mesh, bx, bc)
+        return bx, bc
+
     start_epoch = 0
     ckpt_path = os.path.join(save_dir, "train_state.msgpack")
     if cfg.resume and os.path.exists(ckpt_path):
@@ -237,6 +257,7 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
             ds.train_x, train_c, cfg.batch_size, rng=epoch_rng
         ):
             train_key, step_key = jax.random.split(train_key)
+            bx, bc = maybe_shard(bx, bc)
             state, metrics = train_step(state, bx, bc, step_key)
             epoch_loss += float(metrics["loss"])
             if spec.per_batch_elbo:
@@ -415,6 +436,7 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
             model, inference_vars, schedule, rkey,
             n_sample=cfg.n_eval_images, size=cfg.height,
             params=jnp.zeros((cfg.n_eval_images, cfg.n_cfeat), jnp.float32),
+            mesh=mesh,
         )
     else:
         from ..diffusion.schedule import NoiseScaling
@@ -432,6 +454,7 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
         recon = sample_ddpm_from_noise(
             model, inference_vars, schedule, rkey, x_fwd,
             params=jnp.asarray(selected_params) if spec.conditional else None,
+            mesh=mesh,
         )
     recon_x = np.asarray(recon.x)
     if spec.model_variant in ("deep", "big"):
@@ -536,7 +559,7 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
         grid_out = sample_ddpm(
             model, inference_vars, schedule, gkey,
             n_sample=len(grid_params), size=cfg.height,
-            params=jnp.asarray(grid_params),
+            params=jnp.asarray(grid_params), mesh=mesh,
         )
         if spec.timing_log:
             logger.grid_perf(len(grid_params), grid_out.sampling_time)
@@ -566,7 +589,8 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
             sample_key, gkey, mkey = jax.random.split(sample_key, 3)
             out = sample_ddpm(
                 model, inference_vars, schedule, gkey,
-                n_sample=5, size=cfg.height, params=jnp.asarray(base), guide_w=w,
+                n_sample=5, size=cfg.height, params=jnp.asarray(base),
+                guide_w=w, mesh=mesh,
             )
             guided_samples.append(np.asarray(out.x))
             if spec.post_metrics:
@@ -603,7 +627,7 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
         sens_out = sample_ddpm(
             model, inference_vars, schedule, skey,
             n_sample=len(sens_params), size=cfg.height,
-            params=jnp.asarray(sens_params),
+            params=jnp.asarray(sens_params), mesh=mesh,
         )
         sens_x = np.asarray(sens_out.x).reshape(
             cfg.num_params, 5, cfg.height, cfg.height

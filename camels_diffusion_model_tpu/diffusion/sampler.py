@@ -154,11 +154,15 @@ def sample_ddpm(
     save_rate: int = 20,
     x_init: Optional[jax.Array] = None,
     dtype=jnp.float32,
+    mesh=None,
 ) -> SamplerOutput:
     """Generate samples by ancestral DDPM sampling from pure noise.
 
     Matches ``sample_ddpm`` (train_diffusion_paper.py:555-623): if ``params``
     is None a random parameter vector per sample is drawn (uniform [0,1)).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — the batch axis is sharded
+    across its data axis (embarrassingly parallel sampling sweeps over ICI).
     """
     rng, xkey, pkey = jax.random.split(rng, 3)
     if x_init is None:
@@ -167,7 +171,10 @@ def sample_ddpm(
         )
     if params is None:
         params = jax.random.uniform(pkey, (n_sample, model.n_cfeat), jnp.float32)
-    return _run(model, variables, schedule, rng, x_init, params, guide_w, save_rate)
+    return _run(
+        model, variables, schedule, rng, x_init, params, guide_w, save_rate,
+        mesh=mesh,
+    )
 
 
 def sample_ddpm_from_noise(
@@ -179,6 +186,7 @@ def sample_ddpm_from_noise(
     params: Optional[jax.Array] = None,
     guide_w: float = 0.0,
     save_rate: int = 20,
+    mesh=None,
 ) -> SamplerOutput:
     """Reverse diffusion seeded with forward-diffused real images
     (train_diffusion_paper.py:625-686).  ``params=None`` means zero context."""
@@ -188,7 +196,8 @@ def sample_ddpm_from_noise(
         params = jnp.zeros((noise_images.shape[0], model.n_cfeat), jnp.float32)
         guide_w = 0.0
     return _run(
-        model, variables, schedule, rng, noise_images, params, guide_w, save_rate
+        model, variables, schedule, rng, noise_images, params, guide_w,
+        save_rate, mesh=mesh,
     )
 
 
@@ -208,6 +217,7 @@ def _run(
     guide_w,
     save_rate,
     steps_per_call: Optional[int] = None,
+    mesh=None,
 ):
     timesteps = schedule.timesteps
     mask, slots, n_saves = _save_schedule(timesteps, save_rate)
@@ -221,7 +231,34 @@ def _run(
 
     t0 = time.time()
     x = jnp.asarray(x_init)
+    params = jnp.asarray(params)
+    n_real = x.shape[0]
+    if mesh is not None:
+        # Shard the batch over the mesh's data axis (pad to an even shard).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = mesh.devices.size
+        pad = (-n_real) % n_dev
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+            params = jnp.concatenate(
+                [params, jnp.zeros((pad,) + params.shape[1:], params.dtype)]
+            )
+        bspec = lambda ndim: NamedSharding(
+            mesh, P(mesh.axis_names[0], *([None] * (ndim - 1)))
+        )
+        x = jax.device_put(x, bspec(x.ndim))
+        params = jax.device_put(params, bspec(params.ndim))
     buf = jnp.zeros((n_saves + 1,) + x.shape, x.dtype)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        buf = jax.device_put(
+            buf,
+            NamedSharding(
+                mesh, P(None, mesh.axis_names[0], *([None] * (x.ndim - 1)))
+            ),
+        )
     key = rng
     w = jnp.float32(guide_w)
     start = 0
@@ -252,6 +289,9 @@ def _run(
     _ = float(x.reshape(-1)[0])
     total = time.time() - t0
     per_step = np.full((timesteps,), total / timesteps, np.float64)
+    x = x[:n_real]
+    intermediate = buf[:n_saves, :n_real]
     return SamplerOutput(
-        x=x, intermediate=buf[:n_saves], sampling_time=total, timestep_times=per_step
+        x=x, intermediate=intermediate, sampling_time=total,
+        timestep_times=per_step,
     )
