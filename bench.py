@@ -22,12 +22,73 @@ import time
 import numpy as np
 
 
+def bench_train():
+    """Secondary mode (BENCH_MODE=train): training throughput imgs/s/chip.
+
+    Reference: ~254 imgs/s (13500 maps / 53.09 s epoch, committed logs)."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from camels_diffusion_model_tpu.models import ContextUnet
+    from camels_diffusion_model_tpu.training import (
+        create_train_state,
+        make_train_step,
+    )
+
+    platform = jax.devices()[0].platform
+    on_accel = platform != "cpu"
+    batch = int(os.environ.get("BENCH_BATCH", 32 if on_accel else 8))
+    dtype = jnp.bfloat16 if on_accel else jnp.float32
+    model = ContextUnet(
+        in_channels=1, n_feat=128, n_cfeat=6, height=64, levels=2, dtype=dtype
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, 64, 64, 1), np.float32),
+        np.array([0.5], np.float32),
+    )
+    state = create_train_state(model, variables, 1e-5, 100, 422)
+    step = make_train_step(model, 1500)
+    x = np.random.RandomState(0).rand(batch, 64, 64, 1).astype(np.float32)
+    c = np.random.RandomState(1).rand(batch, 6).astype(np.float32)
+    key = jax.random.PRNGKey(0)
+    key, k = jax.random.split(key)
+    state, m = step(state, x, c, k)
+    _ = float(m["loss"])
+    n_iter = 30 if on_accel else 3
+    t0 = _time.time()
+    for _i in range(n_iter):
+        key, k = jax.random.split(key)
+        state, m = step(state, x, c, k)
+    _ = float(m["loss"])
+    dt = _time.time() - t0
+    imgs_per_sec = n_iter * batch / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_throughput_64x64_t1500",
+                "value": round(imgs_per_sec, 1),
+                "unit": "imgs/sec/chip",
+                "vs_baseline": round(imgs_per_sec / 254.0, 3),
+                "batch": batch,
+                "platform": platform,
+            }
+        )
+    )
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     from camels_diffusion_model_tpu.diffusion import make_schedule, sample_ddpm
     from camels_diffusion_model_tpu.models import ContextUnet
+
+    if os.environ.get("BENCH_MODE") == "train":
+        bench_train()
+        return
 
     platform = jax.devices()[0].platform
     on_accel = platform != "cpu"
@@ -68,19 +129,27 @@ def main():
         # completion barrier.
         return float(jnp.abs(x).sum())
 
-    # Warm-up (compile)
-    t0 = time.time()
-    force(run(0).x)
-    compile_and_first = time.time() - t0
-
-    # Timed runs
-    times = []
-    for seed in (1, 2, 3):
+    def attempt():
         t0 = time.time()
-        out = run(seed)
-        force(out.x)
-        times.append(time.time() - t0)
-    best = min(times)
+        force(run(0).x)
+        first = time.time() - t0
+        times = []
+        for seed in (1, 2, 3):
+            t0 = time.time()
+            out = run(seed)
+            force(out.x)
+            times.append(time.time() - t0)
+        return first, min(times)
+
+    # The tunneled TPU runtime occasionally faults on long runs; retry once
+    # after a cool-down rather than failing the whole bench.
+    try:
+        compile_and_first, best = attempt()
+    except Exception as e:
+        print(f"# bench attempt failed ({type(e).__name__}); retrying in 90s",
+              file=sys.stderr)
+        time.sleep(90)
+        compile_and_first, best = attempt()
     maps_per_min = batch / best * 60.0
 
     baseline_maps_per_min = 33.0  # reference grid sampling, no CFG

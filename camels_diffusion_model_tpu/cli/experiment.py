@@ -246,8 +246,15 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
     eval_np_rng = np.random.default_rng(cfg.seed + 3)
     dims = cfg.height * cfg.height
 
+    from ..utils.profiling import maybe_trace
+
     training_start = time.time()
     for ep in range(start_epoch, cfg.n_epoch):
+        # CAMELS_PROFILE=<dir> captures a device trace of the second epoch
+        # (first is compile-dominated).
+        profile_cm = maybe_trace() if ep == start_epoch + 1 else None
+        if profile_cm is not None:
+            profile_cm.__enter__()
         ep_start = time.time()
         epoch_loss = 0.0
         epoch_elbo = 0.0
@@ -275,6 +282,8 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
         epoch_loss /= n_b
         loss_log.append(epoch_loss)
         epoch_times.append(time.time() - ep_start)
+        if profile_cm is not None:
+            profile_cm.__exit__(None, None, None)
 
         if spec.timing_log:
             if spec.per_batch_elbo:
@@ -412,6 +421,7 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
             likelihood_log, val_likelihood_log,
             elbo_log if not spec.per_batch_elbo else [],
             val_elbo_log, bpd_log if not spec.per_batch_elbo else [], val_bpd_log,
+            eval_every=cfg.eval_every,
         )
     elif loss_log:
         viz.plot_loss_curve(output_dir, loss_log)

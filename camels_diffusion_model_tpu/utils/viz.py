@@ -108,19 +108,26 @@ def plot_training_metrics(
     val_elbo_log: Sequence[float],
     bpd_log: Sequence[float],
     val_bpd_log: Sequence[float],
+    eval_every: int = 5,
 ) -> None:
     """4-panel loss/NLL/ELBO/BPD figure (train_diffusion_paper.py:495-546)."""
     plt.figure(figsize=(15, 10))
-    eval_epochs = list(range(0, n_epoch, 5))
-    if (n_epoch - 1) % 5 != 0:
+    eval_epochs = list(range(0, n_epoch, eval_every))
+    if (n_epoch - 1) % eval_every != 0:
         eval_epochs.append(n_epoch - 1)
     eval_x = [e + 1 for e in eval_epochs]
+
+    def _trim(xs, ys):
+        # Guard against resumed runs with partial eval logs.
+        n = min(len(xs), len(ys))
+        return xs[:n], ys[:n]
 
     plt.subplot(2, 2, 1)
     plt.plot(range(1, n_epoch + 1), np.log(loss_log), color="orange",
              label="Training Loss", linewidth=2)
     if val_loss_log:
-        plt.plot(eval_x, np.log(val_loss_log), "o-", color="blue",
+        xs, ys = _trim(eval_x, val_loss_log)
+        plt.plot(xs, np.log(ys), "o-", color="blue",
                  label="Validation Loss", linewidth=2, markersize=6)
     plt.xlabel("Epoch", fontsize=14)
     plt.ylabel("Log Loss", fontsize=14)
@@ -130,10 +137,12 @@ def plot_training_metrics(
 
     plt.subplot(2, 2, 2)
     if likelihood_log:
-        plt.plot(eval_x, likelihood_log, "o-", color="orange",
+        xs, ys = _trim(eval_x, likelihood_log)
+        plt.plot(xs, ys, "o-", color="orange",
                  label="Training NLL", linewidth=2, markersize=6)
     if val_likelihood_log:
-        plt.plot(eval_x, val_likelihood_log, "o-", color="blue",
+        xs, ys = _trim(eval_x, val_likelihood_log)
+        plt.plot(xs, ys, "o-", color="blue",
                  label="Validation NLL", linewidth=2, markersize=6)
     plt.xlabel("Epoch", fontsize=14)
     plt.ylabel("NLL", fontsize=14)
@@ -143,9 +152,11 @@ def plot_training_metrics(
 
     plt.subplot(2, 2, 3)
     if elbo_log:
-        plt.plot(eval_x, elbo_log, color="orange", label="Training ELBO", linewidth=2)
+        xs, ys = _trim(eval_x, elbo_log)
+        plt.plot(xs, ys, color="orange", label="Training ELBO", linewidth=2)
     if val_elbo_log:
-        plt.plot(eval_x, val_elbo_log, "o-", color="blue",
+        xs, ys = _trim(eval_x, val_elbo_log)
+        plt.plot(xs, ys, "o-", color="blue",
                  label="Validation ELBO", linewidth=2, markersize=6)
     plt.xlabel("Epoch", fontsize=14)
     plt.ylabel("ELBO", fontsize=14)
@@ -155,9 +166,11 @@ def plot_training_metrics(
 
     plt.subplot(2, 2, 4)
     if bpd_log:
-        plt.plot(eval_x, bpd_log, color="orange", label="Training BPD", linewidth=2)
+        xs, ys = _trim(eval_x, bpd_log)
+        plt.plot(xs, ys, color="orange", label="Training BPD", linewidth=2)
     if val_bpd_log:
-        plt.plot(eval_x, val_bpd_log, "o-", color="blue",
+        xs, ys = _trim(eval_x, val_bpd_log)
+        plt.plot(xs, ys, "o-", color="blue",
                  label="Validation BPD", linewidth=2, markersize=6)
     plt.xlabel("Epoch", fontsize=14)
     plt.ylabel("Bits Per Dimension (BPD)", fontsize=14)

@@ -85,6 +85,26 @@ def test_from_noise_none_params(tiny_model_and_vars):
     np.testing.assert_allclose(np.asarray(a.x), np.asarray(b.x), atol=1e-6)
 
 
+def test_chunked_scan_matches_monolithic(tiny_model_and_vars):
+    """Splitting the reverse loop into device-call chunks is bit-identical to
+    one monolithic scan (host-carried state, same RNG stream)."""
+    from camels_diffusion_model_tpu.diffusion.sampler import _run
+
+    model, variables = tiny_model_and_vars
+    sched = make_schedule(11)
+    x_init = np.random.RandomState(0).randn(2, 16, 16, 1).astype(np.float32)
+    params = np.random.RandomState(1).rand(2, 3).astype(np.float32)
+    rng = jax.random.PRNGKey(7)
+    mono = _run(model, variables, sched, rng, jnp.asarray(x_init),
+                jnp.asarray(params), 0.0, 20, steps_per_call=11)
+    chunked = _run(model, variables, sched, rng, jnp.asarray(x_init),
+                   jnp.asarray(params), 0.0, 20, steps_per_call=3)
+    np.testing.assert_allclose(np.asarray(chunked.x), np.asarray(mono.x), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(chunked.intermediate), np.asarray(mono.intermediate), atol=1e-6
+    )
+
+
 def test_random_params_when_none(tiny_model_and_vars):
     model, variables = tiny_model_and_vars
     sched = make_schedule(4)
