@@ -256,17 +256,29 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
         if profile_cm is not None:
             profile_cm.__enter__()
         ep_start = time.time()
+        logger.device_line()  # per-epoch device log (paper.py:341 / :72-75)
         epoch_loss = 0.0
         epoch_elbo = 0.0
         epoch_bpd = 0.0
         n_b = 0
-        for bx, bc in batch_iterator(
-            ds.train_x, train_c, cfg.batch_size, rng=epoch_rng
-        ):
+        try:
+            from tqdm import tqdm
+
+            pbar = tqdm(
+                batch_iterator(ds.train_x, train_c, cfg.batch_size, rng=epoch_rng),
+                total=steps_per_epoch,
+                mininterval=2,
+            )
+        except ImportError:
+            pbar = batch_iterator(ds.train_x, train_c, cfg.batch_size, rng=epoch_rng)
+        for bx, bc in pbar:
             train_key, step_key = jax.random.split(train_key)
             bx, bc = maybe_shard(bx, bc)
             state, metrics = train_step(state, bx, bc, step_key)
-            epoch_loss += float(metrics["loss"])
+            loss_val = float(metrics["loss"])
+            if hasattr(pbar, "set_description"):
+                pbar.set_description(f"Epoch {ep + 1}, Loss: {loss_val:.4f}")
+            epoch_loss += loss_val
             if spec.per_batch_elbo:
                 e = float(
                     elbo_per_batch(
@@ -525,12 +537,19 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
         )
         with np.errstate(divide="ignore", invalid="ignore"):
             pk_ratio = gm / om
+        # The reference's mean includes 0/0 bins and logs nan (SURVEY §6
+        # quirk) — keep that line for contract parity and add a nan-safe one.
         ratio_mean = float(np.mean(pk_ratio[1:]))
         ratio_std = float(np.std(pk_ratio[1:]))
+        finite = np.isfinite(pk_ratio[1:])
+        safe_mean = float(np.mean(pk_ratio[1:][finite])) if finite.any() else float("nan")
+        safe_std = float(np.std(pk_ratio[1:][finite])) if finite.any() else float("nan")
         logger.append(
             "\nPower Spectrum Analysis:\n"
             f"  Mean P(k) ratio (generated/original): "
             f"{ratio_mean:.4f} ± {ratio_std:.4f}\n"
+            f"  Mean P(k) ratio over populated bins: "
+            f"{safe_mean:.4f} ± {safe_std:.4f}\n"
         )
         good = np.where((pk_ratio > 0.8) & (pk_ratio < 1.2) & (k > 0))[0]
         if len(good) > 0:
@@ -538,7 +557,12 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
                 f"  Good P(k) match (within 20%) for k range: "
                 f"[{k[good[0]]:.4f}, {k[good[-1]]:.4f}]\n"
             )
-        results["pk_ratio"] = {"mean": ratio_mean, "std": ratio_std}
+        results["pk_ratio"] = {
+            "mean": ratio_mean,
+            "std": ratio_std,
+            "safe_mean": safe_mean,
+            "safe_std": safe_std,
+        }
 
     # ---- uncond mean-ratio correction (train_diffusion.py:254-295) ---------
     if spec.mean_correction:

@@ -120,6 +120,7 @@ def _sample_scan_chunk(
         z = jnp.where(i > 1, z, jnp.zeros_like(z))
         t_norm = (i / timesteps).astype(jnp.float32).reshape(1)
         eps = _predict_eps(model, variables, x, t_norm, params, use_cfg, guide_w)
+        carry_dtype = x.dtype
         if _USE_PALLAS_STEP and (x.size % 128 == 0):
             from ..ops.pallas.sampler_step import fused_p_sample_step
 
@@ -129,6 +130,9 @@ def _sample_scan_chunk(
             )
         else:
             x = p_sample_step(sched, x, i, eps.astype(x.dtype), z)
+        # Keep the carry dtype stable (a bf16 state requested by the caller
+        # would otherwise be promoted to fp32 by the schedule coefficients).
+        x = x.astype(carry_dtype)
         # Unconditional dynamic-update-slice (non-saving steps target an
         # overflow row) — XLA keeps it in-place; a where(save, ...) would copy
         # the whole intermediate buffer every step (~170 MB HBM traffic/step

@@ -188,4 +188,7 @@ class RunLogger:
             f.write(text)
 
     def device_line(self) -> None:
-        log_device_used(os.path.join(os.getcwd(), "output.log"))
+        # The reference appends to ./output.log in the process cwd
+        # (train_diffusion_paper.py:72-75); writing inside the run's output
+        # dir keeps the contract per-run instead of polluting the cwd.
+        log_device_used(os.path.join(self.output_dir, "output.log"))
