@@ -117,6 +117,20 @@ MODES = {
         viridis=True,
         training_metrics_figure=True,
     ),
+    # code/train_diffusion_paper1.py — identical to paper.py except plot
+    # styling (diff confirms, SURVEY §2.7); registered as its own mode name.
+    "paper1": ModeSpec(
+        name="paper1",
+        prefix=(
+            "paper_lr_{lrate}_epochs_{n_epoch}_timesteps_{timesteps}"
+            "_params_{num_params}"
+        ),
+        eval_elbo=True,
+        eval_nll=True,
+        post_metrics=True,
+        viridis=True,
+        training_metrics_figure=True,
+    ),
     # code/train_diffusion_spectrum_final.py (:193) — paper suite, plain
     # plots, test-set NLL only, no power spectrum despite the name.
     "spectrum_final": ModeSpec(

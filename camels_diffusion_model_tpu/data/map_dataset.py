@@ -9,7 +9,7 @@ the shape/NaN/Inf runtime checker (:279-296).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

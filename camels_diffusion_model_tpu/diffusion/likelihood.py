@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .schedule import DDPMSchedule, NoiseScaling, q_sample
+from .schedule import DDPMSchedule
 
 
 def elbo_timesteps(timesteps: int, n: int = 10) -> np.ndarray:

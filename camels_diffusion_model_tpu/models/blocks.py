@@ -19,7 +19,7 @@ Capability parity with the reference's building blocks
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

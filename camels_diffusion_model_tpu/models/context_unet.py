@@ -24,7 +24,7 @@ n_feat=256 3-level: main.py:15-85), re-designed TPU-first:
 
 from __future__ import annotations
 
-from typing import Any, List, NamedTuple, Optional, Sequence
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ embarrassingly parallel across the batch axis and use the same helpers.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

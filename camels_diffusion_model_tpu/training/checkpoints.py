@@ -15,7 +15,7 @@ Serialization is flax msgpack (host-independent, no pickle).
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import numpy as np

@@ -15,7 +15,7 @@ All functions take NHWC arrays (or (B, H, W)) and write PNGs; no device work.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import matplotlib
 

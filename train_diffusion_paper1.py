@@ -15,7 +15,7 @@ from camels_diffusion_model_tpu.cli import run_experiment
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     cfg = config_from_argv(
-        "paper",
+        "paper1",
         argv,
         maps_path=os.environ.get(
             "CAMELS_MAPS_PATH", "../data/Maps_HI_IllustrisTNG_LH_z=0.00.npy"
