@@ -334,19 +334,20 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
             nll_seconds = 0.0
             if spec.eval_elbo and not spec.per_batch_elbo:
                 eval_key, k1, k2 = jax.random.split(eval_key, 3)
+                eb = cfg.eval_batch_size
                 train_batches = _subset_batches(
-                    ds.train_x, train_c, cfg.elbo_subset, cfg.batch_size, eval_np_rng
+                    ds.train_x, train_c, cfg.elbo_subset, eb, eval_np_rng
                 )
                 train_elbo, train_bpd = calculate_elbo_and_bpd(
                     model, inference_vars, schedule, train_batches, k1,
-                    dims=dims, batch_size=cfg.batch_size,
+                    dims=dims, batch_size=eb,
                 )
                 val_batches = list(
-                    batch_iterator(ds.test_x, test_c, cfg.batch_size, shuffle=False)
+                    batch_iterator(ds.test_x, test_c, eb, shuffle=False)
                 )
                 val_elbo, val_bpd = calculate_elbo_and_bpd(
                     model, inference_vars, schedule, val_batches, k2,
-                    dims=dims, batch_size=cfg.batch_size,
+                    dims=dims, batch_size=eb,
                 )
                 elbo_log.append(train_elbo)
                 bpd_log.append(train_bpd)
@@ -360,18 +361,18 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
                         model, inference_vars, schedule,
                         _subset_batches(
                             ds.train_x, train_c, cfg.nll_subset,
-                            cfg.batch_size, eval_np_rng,
+                            cfg.eval_batch_size, eval_np_rng,
                         ),
-                        k1, batch_size=cfg.batch_size,
+                        k1, batch_size=cfg.eval_batch_size,
                     )
                     likelihood_log.append(train_nll)
                 val_nll = calculate_likelihood(
                     model, inference_vars, schedule,
                     _subset_batches(
                         ds.test_x, test_c, cfg.nll_subset,
-                        cfg.batch_size, eval_np_rng,
+                        cfg.eval_batch_size, eval_np_rng,
                     ),
-                    k2, batch_size=cfg.batch_size,
+                    k2, batch_size=cfg.eval_batch_size,
                 )
                 val_likelihood_log.append(val_nll)
                 nll_seconds = time.time() - nll_start

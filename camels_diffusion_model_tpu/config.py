@@ -249,6 +249,9 @@ class ExperimentConfig:
     n_eval_images: int = 10
     elbo_subset: int = 2000
     nll_subset: int = 200
+    # Eval-pass device batch (per-sample means are batch-size invariant, so a
+    # big batch just amortizes the T-step scans better on the MXU):
+    eval_batch_size: int = 256
     max_maps: Optional[int] = None  # subsample for smoke runs
     synthetic_fallback: bool = True  # use synthetic data if files missing
     synthetic_param_sets: int = 32
