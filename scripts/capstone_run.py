@@ -9,7 +9,10 @@ comparable line-by-line with the reference's
 likelihood evals, 19 s 10-map reconstruction, 46 s 25-map grid).
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from camels_diffusion_model_tpu.config import ExperimentConfig
 from camels_diffusion_model_tpu.cli import run_experiment
