@@ -83,11 +83,15 @@ def elbo_bpd_batch(
     return acc
 
 
-@functools.partial(jax.jit, static_argnames=("model",))
-def nll_batch(model, variables, beta, alpha_bar, x, c, rng):
-    """Per-sample NLL of one batch: full t=1..T sweep as a ``lax.scan``
-    (train_diffusion_paper.py:163-178).  Returns (B,)."""
-    timesteps = beta.shape[0] - 1
+@functools.partial(jax.jit, static_argnames=("model", "timesteps", "weighting"))
+def _t_sweep_chunk(model, variables, beta, alpha_bar, x, c, acc, rng, ts, *,
+                   timesteps: int, weighting: str):
+    """One chunk of a t-sweep scan (NLL or full-trajectory ELBO weighting).
+
+    Chunked for the same reason as the sampler: long monolithic device calls
+    are fragile on tunneled/preemptible TPU runtimes; the host carries
+    (acc, rng) between fixed-size chunk calls of this one compiled function.
+    """
 
     def body(carry, t):
         acc, key = carry
@@ -98,11 +102,40 @@ def nll_batch(model, variables, beta, alpha_bar, x, c, rng):
         t_norm = (t / timesteps).astype(jnp.float32).reshape(1)
         pred = model.apply(variables, x_t, t_norm, c)
         mse = _per_sample_mse(pred, noise)
-        return (acc + mse / (2.0 * beta[t]), key), None
+        if weighting == "nll":
+            w = 1.0 / (2.0 * beta[t])  # (:177)
+        else:  # full-trajectory ELBO (diffusion_utilities.py:509)
+            w = 0.5 * (1.0 / (1.0 - alpha_bar[t]) - 1.0)
+        return (acc + w * mse, key), None
 
-    ts = jnp.arange(1, timesteps + 1, dtype=jnp.int32)
-    (acc, _), _ = jax.lax.scan(body, (jnp.zeros(x.shape[0], jnp.float32), rng), ts)
+    (acc, rng), _ = jax.lax.scan(body, (acc, rng), ts)
+    return acc, rng
+
+
+def _chunked_t_sweep(model, variables, beta, alpha_bar, x, c, rng, weighting):
+    timesteps = int(beta.shape[0]) - 1
+    from .sampler import DEFAULT_STEPS_PER_CALL
+
+    chunk = min(timesteps, DEFAULT_STEPS_PER_CALL)
+    n_chunks = -(-timesteps // chunk)
+    first = timesteps - (n_chunks - 1) * chunk
+    acc = jnp.zeros(x.shape[0], jnp.float32)
+    start = 1
+    for ci in range(n_chunks):
+        size = first if ci == 0 else chunk
+        ts = jnp.arange(start, start + size, dtype=jnp.int32)
+        acc, rng = _t_sweep_chunk(
+            model, variables, beta, alpha_bar, jnp.asarray(x), jnp.asarray(c),
+            acc, rng, ts, timesteps=timesteps, weighting=weighting,
+        )
+        start += size
     return acc
+
+
+def nll_batch(model, variables, beta, alpha_bar, x, c, rng):
+    """Per-sample NLL of one batch: full t=1..T sweep as chunked ``lax.scan``
+    calls (train_diffusion_paper.py:163-178).  Returns (B,)."""
+    return _chunked_t_sweep(model, variables, beta, alpha_bar, x, c, rng, "nll")
 
 
 def elbo_per_batch(beta, alpha_bar, mse_per_sample: jax.Array, t: jax.Array) -> jax.Array:
@@ -112,29 +145,13 @@ def elbo_per_batch(beta, alpha_bar, mse_per_sample: jax.Array, t: jax.Array) -> 
     return jnp.mean(weight * mse_per_sample)
 
 
-@functools.partial(jax.jit, static_argnames=("model",))
 def elbo_full_trajectory_batch(model, variables, beta, alpha_bar, x, c, rng):
-    """Full-trajectory ELBO over every t=1..T as one ``lax.scan``
+    """Full-trajectory ELBO over every t=1..T as chunked ``lax.scan`` calls
     (the reference's commented-out evaluation form,
     diffusion_utilities.py:490-518: weight ``0.5*(1/(1-ab_t)-1)``, averaged
     over timesteps).  Returns per-sample elbo (B,)."""
-    timesteps = beta.shape[0] - 1
-
-    def body(carry, t):
-        acc, key = carry
-        key, nkey = jax.random.split(key)
-        noise = jax.random.normal(nkey, x.shape, x.dtype)
-        x_t = jnp.sqrt(alpha_bar[t]) * x + (1.0 - alpha_bar[t]) * noise
-        t_norm = (t / timesteps).astype(jnp.float32).reshape(1)
-        pred = model.apply(variables, x_t, t_norm, c)
-        mse = _per_sample_mse(pred, noise)
-        weight = 0.5 * (1.0 / (1.0 - alpha_bar[t]) - 1.0)
-        return (acc + weight * mse, key), None
-
-    ts = jnp.arange(1, timesteps + 1, dtype=jnp.int32)
-    (acc, _), _ = jax.lax.scan(
-        body, (jnp.zeros(x.shape[0], jnp.float32), rng), ts
-    )
+    timesteps = int(beta.shape[0]) - 1
+    acc = _chunked_t_sweep(model, variables, beta, alpha_bar, x, c, rng, "elbo")
     return acc / timesteps
 
 
