@@ -616,21 +616,42 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
             results["grid_metrics"] = {"elbo": g_elbo, "bpd": g_bpd, "nll": g_nll}
 
     # ---- CFG guidance sweep (:1008-1105) ------------------------------------
+    # The reference runs one 5-sample sampler per strength; here all w > 0
+    # strengths run as ONE batched call with per-sample guidance weights
+    # (w == 0 keeps its distinct single-forward semantics and runs alone).
     if spec.guidance_sweep and spec.conditional:
-        guided_samples = []
-        guided_metrics = []
+        guided_by_w: Dict[float, np.ndarray] = {}
         base = np.tile(selected_params[0], (5, 1))
-        for w in cfg.guidance_strengths:
-            sample_key, gkey, mkey = jax.random.split(sample_key, 3)
+        zero_ws = [w for w in cfg.guidance_strengths if w <= 0]
+        pos_ws = [w for w in cfg.guidance_strengths if w > 0]
+        for w in zero_ws:
+            sample_key, gkey = jax.random.split(sample_key)
             out = sample_ddpm(
                 model, inference_vars, schedule, gkey,
                 n_sample=5, size=cfg.height, params=jnp.asarray(base),
                 guide_w=w, mesh=mesh,
             )
-            guided_samples.append(np.asarray(out.x))
-            if spec.post_metrics:
+            guided_by_w[w] = np.asarray(out.x)
+        if pos_ws:
+            sample_key, gkey = jax.random.split(sample_key)
+            big_params = np.tile(base, (len(pos_ws), 1))
+            per_sample_w = np.repeat(np.asarray(pos_ws, np.float32), 5)
+            out = sample_ddpm(
+                model, inference_vars, schedule, gkey,
+                n_sample=len(per_sample_w), size=cfg.height,
+                params=jnp.asarray(big_params), guide_w=per_sample_w,
+                mesh=mesh,
+            )
+            big_x = np.asarray(out.x)
+            for i, w in enumerate(pos_ws):
+                guided_by_w[w] = big_x[i * 5 : (i + 1) * 5]
+        guided_samples = [guided_by_w[w] for w in cfg.guidance_strengths]
+        guided_metrics = []
+        if spec.post_metrics:
+            for w in cfg.guidance_strengths:
+                sample_key, mkey = jax.random.split(sample_key)
                 e, b, nll = _sample_metrics(
-                    model, inference_vars, schedule, guided_samples[-1], base,
+                    model, inference_vars, schedule, guided_by_w[w], base,
                     mkey, 5, dims,
                 )
                 guided_metrics.append(

@@ -62,7 +62,11 @@ def _save_schedule(timesteps: int, save_rate: int) -> tuple[np.ndarray, np.ndarr
 
 
 def _predict_eps(model, variables, x, t_norm, params, use_cfg: bool, guide_w):
-    """One denoiser evaluation, optionally with fused classifier-free guidance."""
+    """One denoiser evaluation, optionally with fused classifier-free guidance.
+
+    ``guide_w`` may be a scalar or a per-sample (B,) array — the latter lets a
+    whole guidance-strength sweep run as ONE batched sampler invocation (the
+    reference loops one sampler run per strength, paper.py:1013-1019)."""
     if not use_cfg:
         return model.apply(variables, x, t_norm, params)
     enc = model.apply(variables, x, method="encode")
@@ -72,7 +76,10 @@ def _predict_eps(model, variables, x, t_norm, params, use_cfg: bool, guide_w):
     c2 = jnp.concatenate([params, jnp.zeros_like(params)], axis=0)
     eps2 = model.apply(variables, enc2, t_norm, c2, method="decode")
     eps_cond, eps_uncond = jnp.split(eps2, 2, axis=0)
-    return eps_uncond + guide_w * (eps_cond - eps_uncond)
+    w = jnp.asarray(guide_w, jnp.float32)
+    if w.ndim > 0:
+        w = w.reshape((-1,) + (1,) * (eps_cond.ndim - 1))
+    return eps_uncond + w.astype(eps_cond.dtype) * (eps_cond - eps_uncond)
 
 
 @functools.partial(
@@ -227,7 +234,13 @@ def _run(
     mask, slots, n_saves = _save_schedule(timesteps, save_rate)
     steps = np.arange(timesteps, 0, -1, dtype=np.int32)
     write_slots = np.where(mask, slots, n_saves).astype(np.int32)
-    use_cfg = float(guide_w) > 0.0
+    w_arr = np.asarray(guide_w, np.float64)
+    use_cfg = bool(np.any(w_arr > 0.0))
+    if w_arr.ndim > 0 and use_cfg and np.any(w_arr <= 0.0):
+        raise ValueError(
+            "per-sample guide_w must be all-positive (w=0 uses a different "
+            "single-forward semantics in the reference; run it separately)"
+        )
     chunk = min(timesteps, steps_per_call or DEFAULT_STEPS_PER_CALL)
     n_chunks = -(-timesteps // chunk)
     # First chunk takes the remainder so at most two shapes compile.
@@ -264,7 +277,16 @@ def _run(
             ),
         )
     key = rng
-    w = jnp.float32(guide_w)
+    w = jnp.asarray(guide_w, jnp.float32)
+    if mesh is not None and w.ndim > 0:
+        # per-sample weights shard with the batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if pad:
+            w = jnp.concatenate([w, jnp.ones((pad,), w.dtype)])
+        w = jax.device_put(w, NamedSharding(mesh, P(mesh.axis_names[0])))
+    elif w.ndim > 0 and w.shape[0] != x.shape[0]:
+        raise ValueError("per-sample guide_w length must match the batch")
     start = 0
     for ci in range(n_chunks):
         size = first if ci == 0 else chunk
