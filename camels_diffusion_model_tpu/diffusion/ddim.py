@@ -1,0 +1,120 @@
+"""DDIM fast sampler — a TPU-serving extension beyond reference parity.
+
+The reference only has 1500-step ancestral DDPM sampling.  For production
+serving, DDIM (Song et al. 2020) samples with a strided timestep subsequence
+and deterministic (eta=0) or partially stochastic updates, cutting model
+evaluations ~30x at small quality cost.  Math (using the same ``alpha_bar``
+schedule as training):
+
+    x0_hat  = (x_t - sqrt(1 - ab_t) * eps) / sqrt(ab_t)
+    sigma_t = eta * sqrt((1 - ab_prev) / (1 - ab_t)) * sqrt(1 - ab_t / ab_prev)
+    x_prev  = sqrt(ab_prev) * x0_hat
+              + sqrt(1 - ab_prev - sigma_t^2) * eps + sigma_t * z
+
+Shares the framework's sampler machinery: one jitted ``lax.scan`` over the
+subsequence, fused CFG (encoder once / decoder twice), per-sample or scalar
+guidance weights.  NOT used by the reference-parity CLIs.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .sampler import SamplerOutput, _predict_eps
+from .schedule import DDPMSchedule
+
+
+def ddim_timesteps(timesteps: int, n_steps: int) -> np.ndarray:
+    """Strided subsequence tau_1 < ... < tau_n of [1, T] (endpoints included)."""
+    taus = np.unique(np.linspace(1, timesteps, min(n_steps, timesteps)).round())
+    return taus.astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "use_cfg"))
+def _ddim_scan(
+    model, variables, alpha_bar, x, params, guide_w, rng, taus, taus_prev, eta,
+    timesteps_static, *, use_cfg: bool
+):
+    timesteps = timesteps_static.shape[0] - 1  # = schedule T (static via shape)
+
+    def body(carry, ts):
+        x, key = carry
+        t, t_prev = ts
+        key, zkey = jax.random.split(key)
+        ab_t = alpha_bar[t]
+        ab_prev = alpha_bar[t_prev]
+        t_norm = (t / timesteps).astype(jnp.float32).reshape(1)
+        eps = _predict_eps(model, variables, x, t_norm, params, use_cfg, guide_w)
+        eps = eps.astype(x.dtype)
+        x0_hat = (x - jnp.sqrt(1.0 - ab_t) * eps) * jax.lax.rsqrt(ab_t)
+        sigma = (
+            eta
+            * jnp.sqrt((1.0 - ab_prev) / (1.0 - ab_t))
+            * jnp.sqrt(1.0 - ab_t / ab_prev)
+        )
+        sigma = jnp.where(t_prev > 0, sigma, 0.0)
+        z = jax.random.normal(zkey, x.shape, x.dtype)
+        dir_x = jnp.sqrt(jnp.maximum(1.0 - ab_prev - sigma**2, 0.0)) * eps
+        x = jnp.sqrt(ab_prev) * x0_hat + dir_x + sigma * z
+        return (x, key), None
+
+    (x, _), _ = jax.lax.scan(body, (x, rng), (taus, taus_prev))
+    return x
+
+
+def sample_ddim(
+    model,
+    variables,
+    schedule: DDPMSchedule,
+    rng: jax.Array,
+    n_sample: int = 1,
+    size: int = 64,
+    params: Optional[jax.Array] = None,
+    guide_w=0.0,
+    n_steps: int = 50,
+    eta: float = 0.0,
+    x_init: Optional[jax.Array] = None,
+    dtype=jnp.float32,
+) -> SamplerOutput:
+    """Fast strided sampling.  ``eta=0`` is fully deterministic given x_init."""
+    rng, xkey, pkey = jax.random.split(rng, 3)
+    if x_init is None:
+        x_init = jax.random.normal(
+            xkey, (n_sample, size, size, model.in_channels), dtype
+        )
+    if params is None:
+        params = jax.random.uniform(pkey, (n_sample, model.n_cfeat), jnp.float32)
+    taus = ddim_timesteps(schedule.timesteps, n_steps)[::-1].copy()  # T..1
+    taus_prev = np.concatenate([taus[1:], np.zeros(1, np.int32)])
+    w_arr = np.asarray(guide_w, np.float64)
+    use_cfg = bool(np.any(w_arr > 0.0))
+
+    t0 = time.time()
+    x = _ddim_scan(
+        model,
+        variables,
+        schedule.alpha_bar,
+        jnp.asarray(x_init),
+        jnp.asarray(params),
+        jnp.asarray(guide_w, jnp.float32),
+        rng,
+        jnp.asarray(taus),
+        jnp.asarray(taus_prev),
+        jnp.float32(eta),
+        schedule.beta,
+        use_cfg=use_cfg,
+    )
+    jax.block_until_ready(x)
+    _ = float(x.reshape(-1)[0])
+    total = time.time() - t0
+    per_step = np.full((len(taus),), total / len(taus), np.float64)
+    empty = jnp.zeros((0,) + x.shape, x.dtype)
+    return SamplerOutput(
+        x=x, intermediate=empty, sampling_time=total, timestep_times=per_step
+    )

@@ -1,0 +1,64 @@
+"""DDIM fast-sampler tests (extension beyond reference parity)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from camels_diffusion_model_tpu import make_schedule
+from camels_diffusion_model_tpu.diffusion.ddim import ddim_timesteps, sample_ddim
+
+
+def test_ddim_timesteps_subsequence():
+    taus = ddim_timesteps(1500, 50)
+    assert taus[0] == 1 and taus[-1] == 1500
+    assert len(taus) == 50
+    assert np.all(np.diff(taus) > 0)
+    full = ddim_timesteps(10, 100)
+    np.testing.assert_array_equal(full, np.arange(1, 11))
+
+
+def test_ddim_runs_and_is_deterministic_at_eta0(tiny_model_and_vars):
+    model, variables = tiny_model_and_vars
+    sched = make_schedule(40)
+    params = np.random.RandomState(0).rand(2, 3).astype(np.float32)
+    x_init = np.random.RandomState(1).randn(2, 16, 16, 1).astype(np.float32)
+    a = sample_ddim(
+        model, variables, sched, jax.random.PRNGKey(0), params=params,
+        n_steps=8, eta=0.0, x_init=jnp.asarray(x_init),
+    )
+    # different rng, same x_init -> identical at eta=0 (no stochastic term)
+    b = sample_ddim(
+        model, variables, sched, jax.random.PRNGKey(99), params=params,
+        n_steps=8, eta=0.0, x_init=jnp.asarray(x_init),
+    )
+    assert np.all(np.isfinite(np.asarray(a.x)))
+    np.testing.assert_allclose(np.asarray(a.x), np.asarray(b.x), atol=1e-6)
+
+
+def test_ddim_eta1_stochastic(tiny_model_and_vars):
+    model, variables = tiny_model_and_vars
+    sched = make_schedule(40)
+    params = np.random.RandomState(0).rand(2, 3).astype(np.float32)
+    x_init = np.random.RandomState(1).randn(2, 16, 16, 1).astype(np.float32)
+    a = sample_ddim(
+        model, variables, sched, jax.random.PRNGKey(0), params=params,
+        n_steps=8, eta=1.0, x_init=jnp.asarray(x_init),
+    )
+    b = sample_ddim(
+        model, variables, sched, jax.random.PRNGKey(99), params=params,
+        n_steps=8, eta=1.0, x_init=jnp.asarray(x_init),
+    )
+    assert not np.allclose(np.asarray(a.x), np.asarray(b.x))
+
+
+def test_ddim_with_cfg(tiny_model_and_vars):
+    model, variables = tiny_model_and_vars
+    sched = make_schedule(20)
+    params = np.random.RandomState(0).rand(2, 3).astype(np.float32)
+    out = sample_ddim(
+        model, variables, sched, jax.random.PRNGKey(0),
+        n_sample=2, size=16, params=params, guide_w=2.0, n_steps=5,
+    )
+    assert np.all(np.isfinite(np.asarray(out.x)))
