@@ -271,27 +271,36 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
             )
         except ImportError:
             pbar = batch_iterator(ds.train_x, train_c, cfg.batch_size, rng=epoch_rng)
+        # Loss (and per-batch ELBO) accumulate ON DEVICE; one host sync per
+        # epoch.  The reference syncs every step (`loss.item()`,
+        # paper.py:366), which serializes the device against the host — at
+        # TPU speeds that sync dominates the epoch.
+        loss_acc = jnp.zeros((), jnp.float32)
+        elbo_acc = jnp.zeros((), jnp.float32)
+        last_desc = 0.0
         for bx, bc in pbar:
             train_key, step_key = jax.random.split(train_key)
             bx, bc = maybe_shard(bx, bc)
             state, metrics = train_step(state, bx, bc, step_key)
-            loss_val = float(metrics["loss"])
-            if hasattr(pbar, "set_description"):
-                pbar.set_description(f"Epoch {ep + 1}, Loss: {loss_val:.4f}")
-            epoch_loss += loss_val
+            loss_acc = loss_acc + metrics["loss"]
             if spec.per_batch_elbo:
-                e = float(
-                    elbo_per_batch(
-                        schedule.beta,
-                        schedule.alpha_bar,
-                        metrics["per_sample_mse"],
-                        metrics["t"],
-                    )
+                elbo_acc = elbo_acc + elbo_per_batch(
+                    schedule.beta,
+                    schedule.alpha_bar,
+                    metrics["per_sample_mse"],
+                    metrics["t"],
                 )
-                epoch_elbo += e
-                epoch_bpd += e / (dims * np.log(2.0))
             n_b += 1
-        epoch_loss /= n_b
+            now = time.time()
+            if hasattr(pbar, "set_description") and now - last_desc > 2.0:
+                pbar.set_description(
+                    f"Epoch {ep + 1}, Loss: {float(metrics['loss']):.4f}"
+                )
+                last_desc = now
+        epoch_loss = float(loss_acc) / n_b
+        if spec.per_batch_elbo:
+            epoch_elbo = float(elbo_acc)
+            epoch_bpd = epoch_elbo / (dims * np.log(2.0))
         loss_log.append(epoch_loss)
         epoch_times.append(time.time() - ep_start)
         if profile_cm is not None:
@@ -303,7 +312,8 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
                     f"Epoch {ep + 1}/{cfg.n_epoch} completed in "
                     f"{epoch_times[-1]:.2f} seconds\n"
                     f"  Training Loss: {epoch_loss:.6f}, "
-                    f"ELBO: {epoch_elbo / n_b:.6f}, BPD: {epoch_bpd / n_b:.6f}\n"
+                    f"ELBO: {epoch_elbo / n_b:.6f}, "
+                    f"BPD: {epoch_bpd / n_b:.6f}\n"
                 )
             else:
                 logger.epoch(ep, cfg.n_epoch, epoch_times[-1], epoch_loss)
