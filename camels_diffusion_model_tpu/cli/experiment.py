@@ -112,6 +112,21 @@ def _sample_metrics(model, variables, schedule, x, c, key, batch_size, dims):
     return elbo, bpd, nll
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("compute_elbo",))
+def _accumulate_metrics(
+    beta, alpha_bar, loss_acc, elbo_acc, loss, per_sample_mse, t, *,
+    compute_elbo: bool
+):
+    """Single jitted per-step metric accumulation (device-resident)."""
+    loss_acc = loss_acc + loss
+    if compute_elbo:
+        elbo_acc = elbo_acc + elbo_per_batch(beta, alpha_bar, per_sample_mse, t)
+    return loss_acc, elbo_acc
+
+
 def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
     spec = cfg.spec
     output_dir = cfg.output_dir()
@@ -271,10 +286,10 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
             )
         except ImportError:
             pbar = batch_iterator(ds.train_x, train_c, cfg.batch_size, rng=epoch_rng)
-        # Loss (and per-batch ELBO) accumulate ON DEVICE; one host sync per
-        # epoch.  The reference syncs every step (`loss.item()`,
-        # paper.py:366), which serializes the device against the host — at
-        # TPU speeds that sync dominates the epoch.
+        # Loss (and per-batch ELBO) accumulate ON DEVICE via one jitted call
+        # per step; one host sync per epoch.  The reference syncs every step
+        # (`loss.item()`, paper.py:366) which serializes host and device, and
+        # per-step EAGER ops are similarly expensive over remote TPU runtimes.
         loss_acc = jnp.zeros((), jnp.float32)
         elbo_acc = jnp.zeros((), jnp.float32)
         last_desc = 0.0
@@ -282,14 +297,11 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
             train_key, step_key = jax.random.split(train_key)
             bx, bc = maybe_shard(bx, bc)
             state, metrics = train_step(state, bx, bc, step_key)
-            loss_acc = loss_acc + metrics["loss"]
-            if spec.per_batch_elbo:
-                elbo_acc = elbo_acc + elbo_per_batch(
-                    schedule.beta,
-                    schedule.alpha_bar,
-                    metrics["per_sample_mse"],
-                    metrics["t"],
-                )
+            loss_acc, elbo_acc = _accumulate_metrics(
+                schedule.beta, schedule.alpha_bar, loss_acc, elbo_acc,
+                metrics["loss"], metrics["per_sample_mse"], metrics["t"],
+                compute_elbo=spec.per_batch_elbo,
+            )
             n_b += 1
             now = time.time()
             if hasattr(pbar, "set_description") and now - last_desc > 2.0:
