@@ -105,6 +105,42 @@ def test_chunked_scan_matches_monolithic(tiny_model_and_vars):
     )
 
 
+def test_sampler_reproduces_gaussian_with_optimal_denoiser():
+    """End-to-end correctness of the whole reverse chain: with the
+    analytically optimal eps-predictor for iid Gaussian data N(mu, s^2),
+    ancestral sampling must return samples with exactly those statistics.
+    This validates p_sample + scan + t-indexing independent of any training."""
+    T = 300
+    sched = make_schedule(T)
+    mu, s = 0.5, 0.1
+
+    class AnalyticModel:
+        in_channels = 1
+        n_cfeat = 1
+
+        def apply(self, variables, x, t, c=None, **kw):
+            ti = jnp.round(t[0] * T).astype(jnp.int32)
+            ab = sched.alpha_bar[ti]
+            post = (jnp.sqrt(ab) * s**2 * x + (1 - ab) * mu) / (
+                ab * s**2 + (1 - ab)
+            )
+            return (x - jnp.sqrt(ab) * post) / jnp.sqrt(1 - ab)
+
+        def __hash__(self):
+            return hash("analytic-sampler-test")
+
+        def __eq__(self, o):
+            return isinstance(o, AnalyticModel)
+
+    out = sample_ddpm(
+        AnalyticModel(), {}, sched, jax.random.PRNGKey(0),
+        n_sample=16, size=32, params=jnp.zeros((16, 1)),
+    )
+    x = np.asarray(out.x)
+    assert abs(x.mean() - mu) < 0.01
+    assert abs(x.std() - s) < 0.01
+
+
 def test_random_params_when_none(tiny_model_and_vars):
     model, variables = tiny_model_and_vars
     sched = make_schedule(4)
