@@ -459,7 +459,15 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
             eval_every=cfg.eval_every,
         )
     elif loss_log:
-        viz.plot_loss_curve(output_dir, loss_log)
+        title = (
+            f"Loss Evolution with {cfg.num_params} conditioning parameters"
+            if spec.conditional and spec.track_val_mse
+            else ""
+        )
+        viz.plot_loss_curve(
+            output_dir, loss_log, val_loss_log,
+            eval_every=cfg.eval_every, title=title,
+        )
 
     results: Dict[str, object] = {
         "output_dir": output_dir,

@@ -184,14 +184,36 @@ def plot_training_metrics(
     plt.close()
 
 
-def plot_loss_curve(output_dir: str, loss_log: Sequence[float]) -> None:
-    """Single log-loss curve (unconditional trainer's plot)."""
-    plt.figure()
-    plt.plot(np.log(np.asarray(loss_log)))
+def plot_loss_curve(
+    output_dir: str,
+    loss_log: Sequence[float],
+    val_loss_log: Sequence[float] = (),
+    eval_every: int = 5,
+    title: str = "",
+) -> None:
+    """Log-loss curve — ``loss_evolution.png`` (train_diffusion.py:157-160;
+    conditional variant adds the validation overlay,
+    train_diffusion_condition.py:258-271)."""
+    n_epoch = len(loss_log)
+    plt.figure(figsize=(10, 5) if val_loss_log else None)
+    plt.plot(
+        np.arange(1, n_epoch + 1), np.log(np.asarray(loss_log)),
+        label="Training Loss",
+    )
+    if val_loss_log:
+        val_epochs = list(range(0, n_epoch, eval_every))
+        if (n_epoch - 1) % eval_every != 0:
+            val_epochs.append(n_epoch - 1)
+        xs = [e + 1 for e in val_epochs][: len(val_loss_log)]
+        plt.plot(xs, np.log(np.asarray(val_loss_log[: len(xs)])), "o-",
+                 label="Validation Loss")
+        plt.legend()
     plt.xlabel("Epoch")
     plt.ylabel("Log Loss")
     plt.grid(True, alpha=0.7)
-    plt.savefig(os.path.join(output_dir, "loss_plot.png"), dpi=150,
+    if title:
+        plt.title(title)
+    plt.savefig(os.path.join(output_dir, "loss_evolution.png"), dpi=150,
                 bbox_inches="tight")
     plt.close()
 

@@ -63,7 +63,7 @@ def test_uncond_mode_smoke(tmp_path):
     out = res["output_dir"]
     for f in [
         "processed_images.png",
-        "loss_plot.png",
+        "loss_evolution.png",
         "reconstructed_images.png",
         "distribution_comparison.png",
         "means.txt",
