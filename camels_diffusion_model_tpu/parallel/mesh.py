@@ -25,6 +25,18 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(**kwargs) -> int:
+    """Multi-host initialization (TPU pod slices): call once per process
+    before any device use; no-op when single-process or already initialized.
+    Returns the global device count.  Afterwards ``make_mesh()`` spans the
+    whole slice (ICI within hosts, DCN across slices)."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except Exception:
+        pass  # single process, no coordinator configured, or already done
+    return len(jax.devices())
+
+
 def make_mesh(
     n_devices: Optional[int] = None, axis_name: str = "data"
 ) -> Mesh:
