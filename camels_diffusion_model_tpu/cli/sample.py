@@ -51,7 +51,16 @@ def generate_comparison_plot(
         np.zeros((1, height, height, 1), np.float32),
         np.array([0.5], np.float32),
     )
-    variables = load_model_weights(template, model_path)
+    if os.path.exists(model_path):
+        variables = load_model_weights(template, model_path)
+    elif model_path.endswith(".pth") or not model_path:
+        raise FileNotFoundError(model_path)
+    else:
+        print(
+            f"  WARNING: checkpoint {model_path} not found — using freshly "
+            "initialized weights (plumbing demo only; spectra will not match)"
+        )
+        variables = template
 
     schedule = make_schedule(timesteps)  # must match training (:191-197)
 
