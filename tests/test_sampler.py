@@ -148,3 +148,13 @@ def test_random_params_when_none(tiny_model_and_vars):
         model, variables, sched, jax.random.PRNGKey(3), n_sample=2, size=16
     )
     assert np.all(np.isfinite(np.asarray(out.x)))
+
+
+def test_save_schedule_other_rates():
+    for rate in (5, 7, 50):
+        T = 60
+        mask, slots, n = _save_schedule(T, rate)
+        steps = np.arange(T, 0, -1)
+        want = (steps % rate == 0) | (steps == T) | (steps < 8)
+        np.testing.assert_array_equal(mask, want)
+        assert n == want.sum()

@@ -114,3 +114,13 @@ def test_log_batch_consistent():
         _, pk_i = calculate_power_spectrum_2d(maps[i])
         # vmapped vs single differ only by fp32 accumulation order
         np.testing.assert_allclose(np.asarray(pk_b[i]), np.asarray(pk_i), rtol=1e-2)
+
+
+def test_linear_spectrum_dl_scaling():
+    """Physical spacing dl rescales k and P(k) per the reference's formulas."""
+    rs = np.random.RandomState(7)
+    box = rs.randn(16, 16)
+    k1, p1 = _oracle_linear(box, dl=2.0)
+    k2, p2 = power_spectrum(box, dl=2.0)
+    np.testing.assert_allclose(k2, k1, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p2), p1, rtol=1e-4, atol=1e-7)
