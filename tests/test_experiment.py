@@ -146,6 +146,34 @@ def test_legacy_mode_defaults():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize(
+    "mode,check_file",
+    [
+        ("condition_viridis", "reconstructed_images_viridis.png"),
+        ("likelihood", "timing_and_performance.log"),
+        ("elbo", "timing_and_performance.log"),
+        ("spectrum_final", "training_metrics.png"),
+        ("initial2", "corrected_means.txt"),
+        ("nov26", "loss_evolution.png"),
+    ],
+)
+def test_remaining_modes_smoke(tmp_path, mode, check_file):
+    res = run_experiment(_tiny_cfg(mode, tmp_path))
+    assert os.path.exists(os.path.join(res["output_dir"], check_file)), check_file
+    if mode == "elbo":
+        log = open(
+            os.path.join(res["output_dir"], "timing_and_performance.log")
+        ).read()
+        # per-batch ELBO/BPD logged on the epoch line (train_diffusion_elbo.py:358)
+        assert "ELBO:" in log and "BPD:" in log
+    if mode == "likelihood":
+        log = open(
+            os.path.join(res["output_dir"], "timing_and_performance.log")
+        ).read()
+        assert "Negative Log Likelihood" in log
+
+
+@pytest.mark.slow
 def test_resume_from_checkpoint(tmp_path):
     cfg = _tiny_cfg("condition", tmp_path, n_epoch=2, ckpt_every=1)
     res1 = run_experiment(cfg)
