@@ -66,6 +66,10 @@ class ContextUnet(nn.Module):
         stages ("relu" | "gelu" | "leaky_relu").
       final_tanh: apply tanh to the output (deep/big variants).
       extra_out_conv: extra 3x3 conv in the output head (big variant).
+      shortcut: init_conv residual-projection mode — "learned" (default,
+        correct design) or "stochastic" (reference-faithful fresh random 1x1
+        conv per forward, diffusion_utilities.py:54; requires a "shortcut"
+        RNG stream in apply()).
       dtype: compute dtype (bfloat16 recommended on TPU; params stay float32).
     """
 
@@ -78,6 +82,7 @@ class ContextUnet(nn.Module):
     out_act: str = "relu"
     final_tanh: bool = False
     extra_out_conv: bool = False
+    shortcut: str = "learned"  # "learned" | "stochastic" (reference quirk)
     dtype: Dtype = jnp.float32
 
     # ---- variant factories -------------------------------------------------
@@ -127,7 +132,8 @@ class ContextUnet(nn.Module):
         # Down-path channel progression: [n, n, 2n] (canonical) or [n, n, 2n, 4n].
         down_feats = [n] + [n * (2**i) for i in range(1, self.levels)]
         self.init_conv = ResidualConvBlock(
-            n, is_res=True, dtype=self.dtype, name="init_conv"
+            n, is_res=True, shortcut=self.shortcut, dtype=self.dtype,
+            name="init_conv",
         )
         self.down_blocks = [
             UnetDown(down_feats[i], dtype=self.dtype, name=f"down{i + 1}")

@@ -114,3 +114,29 @@ def test_param_count_positive(tiny_model_and_vars):
 def test_batch_stats_collection_exists(tiny_model_and_vars):
     _, variables = tiny_model_and_vars
     assert "batch_stats" in variables
+
+
+def test_stochastic_shortcut_mode():
+    """Reference-faithful mode: a fresh random 1x1 shortcut per forward
+    (diffusion_utilities.py:54) — different 'shortcut' RNG keys give
+    different outputs; same key reproduces."""
+    import jax
+
+    model = ContextUnet(
+        n_feat=8, n_cfeat=3, height=16, levels=2, shortcut="stochastic"
+    )
+    x0 = np.zeros((1, 16, 16, 1), np.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "shortcut": jax.random.PRNGKey(1)},
+        x0, np.array([0.5], np.float32),
+    )
+    # no learned shortcut parameter in this mode
+    assert "shortcut" not in variables["params"]["init_conv"]
+    x = np.random.RandomState(0).randn(2, 16, 16, 1).astype(np.float32)
+    t = np.array([0.5], np.float32)
+    c = np.random.RandomState(1).rand(2, 3).astype(np.float32)
+    a = model.apply(variables, x, t, c, rngs={"shortcut": jax.random.PRNGKey(2)})
+    b = model.apply(variables, x, t, c, rngs={"shortcut": jax.random.PRNGKey(3)})
+    same = model.apply(variables, x, t, c, rngs={"shortcut": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(same), atol=1e-6)
