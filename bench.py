@@ -84,34 +84,62 @@ def main():
     import jax.numpy as jnp
 
     from camels_diffusion_model_tpu.diffusion import make_schedule, sample_ddpm
+    from camels_diffusion_model_tpu.diffusion.ddim import sample_ddim
     from camels_diffusion_model_tpu.models import ContextUnet
+    from camels_diffusion_model_tpu.models.fold_bn import fold_inference
 
     if os.environ.get("BENCH_MODE") == "train":
         bench_train()
         return
+    ddim_mode = os.environ.get("BENCH_MODE") == "ddim"
 
     platform = jax.devices()[0].platform
     on_accel = platform != "cpu"
     batch = int(os.environ.get("BENCH_BATCH", 128 if on_accel else 4))
     timesteps = int(os.environ.get("BENCH_TIMESTEPS", 1500 if on_accel else 20))
+    # DDIM serving config: certified in SPEEDUP.md (spectral error vs the
+    # 1500-step DDPM reference documented there per step count).
+    ddim_steps = int(os.environ.get("BENCH_DDIM_STEPS", 250))
     guide_w = float(os.environ.get("BENCH_GUIDE_W", 2.0))
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16" if on_accel else "float32")
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
 
+    # A/B knobs (scripts/tpu_ab.py drives these; defaults = production path):
+    #   BENCH_NO_FOLD=1     keep BatchNorms unfolded
+    #   BENCH_PALLAS_GN=1   fused Pallas GroupNorm+act decoder heads
+    #   CAMELS_PALLAS_STEP=1 fused Pallas ancestral update (read by sampler)
+    pallas_gn = os.environ.get("BENCH_PALLAS_GN", "0") == "1"
     model = ContextUnet(
-        in_channels=1, n_feat=128, n_cfeat=6, height=64, levels=2, dtype=dtype
+        in_channels=1, n_feat=128, n_cfeat=6, height=64, levels=2, dtype=dtype,
+        pallas_gn=pallas_gn,
     )
     variables = model.init(
         jax.random.PRNGKey(0),
         np.zeros((1, 64, 64, 1), np.float32),
         np.array([0.5], np.float32),
     )
+    # Inference path: BatchNorm running stats folded into the convs
+    # (models/fold_bn.py) — identical math, no BN work in the scan.
+    if os.environ.get("BENCH_NO_FOLD", "0") != "1":
+        model, variables = fold_inference(model, variables)
     schedule = make_schedule(timesteps)
     params = jnp.asarray(
         np.random.RandomState(0).rand(batch, 6).astype(np.float32)
     )
 
     def run(seed):
+        if ddim_mode:
+            return sample_ddim(
+                model,
+                variables,
+                schedule,
+                jax.random.PRNGKey(seed),
+                n_sample=batch,
+                size=64,
+                params=params,
+                guide_w=guide_w,
+                n_steps=ddim_steps,
+            )
         return sample_ddpm(
             model,
             variables,
@@ -153,8 +181,13 @@ def main():
     maps_per_min = batch / best * 60.0
 
     baseline_maps_per_min = 33.0  # reference grid sampling, no CFG
+    metric = (
+        "ddim%d_cfg_sampling_throughput_64x64_t%d" % (ddim_steps, timesteps)
+        if ddim_mode
+        else "cfg_sampling_throughput_64x64_t%d" % timesteps
+    )
     result = {
-        "metric": "cfg_sampling_throughput_64x64_t%d" % timesteps,
+        "metric": metric,
         "value": round(maps_per_min, 2),
         "unit": "maps/min/chip",
         "vs_baseline": round(maps_per_min / baseline_maps_per_min, 3),
@@ -165,6 +198,8 @@ def main():
         "seconds_per_run": round(best, 3),
         "first_call_seconds": round(compile_and_first, 1),
     }
+    if ddim_mode:
+        result["ddim_steps"] = ddim_steps
     print(json.dumps(result))
 
 

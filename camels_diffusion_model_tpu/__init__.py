@@ -31,6 +31,22 @@ Public API (stable):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache for every entry point (CLIs, bench,
+# scripts): a fresh `train_diffusion.py` invocation of an already-seen config
+# skips the ~3-minute cold compile.  Opt out with CAMELS_NO_COMPILE_CACHE=1;
+# tests/conftest.py points this at its own directory before importing us.
+if not _os.environ.get("CAMELS_NO_COMPILE_CACHE"):
+    _os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(
+            _os.environ.get("XDG_CACHE_HOME", _os.path.expanduser("~/.cache")),
+            "camels_diffusion_jax",
+        ),
+    )
+    _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+
 from .diffusion.schedule import (
     DDPMSchedule,
     make_schedule,

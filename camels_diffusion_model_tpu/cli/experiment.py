@@ -51,6 +51,7 @@ from ..diffusion.likelihood import (
     nll_batch,
 )
 from ..models import ContextUnet
+from ..models.fold_bn import fold_inference
 from ..ops.spectrum import compare_power_spectra_stats
 from ..ops.stats import compare_pdf_stats
 from ..training import (
@@ -61,6 +62,7 @@ from ..training import (
     save_model_weights,
     save_train_checkpoint,
 )
+from ..training.checkpoints import weights_checkpoint_plan
 from ..utils import RunLogger, viz
 
 
@@ -187,12 +189,16 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
         "big": ContextUnet.big,
     }[spec.model_variant]
     model = factory(
-        n_cfeat=cfg.n_cfeat, n_feat=cfg.n_feat, height=cfg.height, dtype=dtype
+        n_cfeat=cfg.n_cfeat, n_feat=cfg.n_feat, height=cfg.height, dtype=dtype,
+        shortcut=cfg.shortcut,
     )
     root_key = jax.random.PRNGKey(cfg.seed)
     init_key, train_key, eval_key, sample_key = jax.random.split(root_key, 4)
+    init_rngs = {"params": init_key}
+    if cfg.shortcut == "stochastic":
+        init_rngs["shortcut"] = jax.random.fold_in(init_key, 1)
     variables = model.init(
-        init_key,
+        init_rngs,
         np.zeros((1, cfg.height, cfg.height, 1), np.float32),
         np.array([0.5], np.float32),
     )
@@ -200,8 +206,17 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
     state = create_train_state(
         model, variables, cfg.lrate, cfg.n_epoch, steps_per_epoch
     )
-    train_step = make_train_step(model, cfg.timesteps, scaling=spec.q_scaling)
-    eval_step = make_eval_step(model, cfg.timesteps, scaling=spec.q_scaling)
+    # Every phase (training, eval, sampling, likelihood) shares ONE diffusion
+    # process: the configured schedule endpoints go to the train/eval steps
+    # too, not just the runner's schedule object.
+    train_step = make_train_step(
+        model, cfg.timesteps, scaling=spec.q_scaling,
+        beta1=cfg.beta1, beta2=cfg.beta2,
+    )
+    eval_step = make_eval_step(
+        model, cfg.timesteps, scaling=spec.q_scaling,
+        beta1=cfg.beta1, beta2=cfg.beta2,
+    )
 
     # ---- data-parallel mesh (multi-chip) -----------------------------------
     # Params/opt state replicated; batches sharded over the "data" axis; XLA
@@ -340,20 +355,53 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
                 "params": state.params,
                 "batch_stats": state.batch_stats,
             }
-            val_loss = 0.0
+            # Likelihood-style eval passes (T-step sweeps) run on the
+            # BN-folded inference model — identical math, no BatchNorm work.
+            inf_model, inf_vars = fold_inference(model, inference_vars)
+            # Val MSE (and per-batch val ELBO for the elbo/spectrum_indiv
+            # modes, train_diffusion_elbo.py:374-383) accumulate ON DEVICE;
+            # one host sync per eval pass (the per-batch float() the reference
+            # does would serialize host and device over the TPU tunnel).
+            vloss_acc = jnp.zeros((), jnp.float32)
+            velbo_acc = jnp.zeros((), jnp.float32)
             v_b = 0
             for bx, bc in batch_iterator(
                 ds.test_x, test_c, cfg.batch_size, shuffle=False
             ):
                 eval_key, k = jax.random.split(eval_key)
-                val_loss += float(eval_step(state.params, state.batch_stats, bx, bc, k))
+                em = eval_step(state.params, state.batch_stats, bx, bc, k)
+                vloss_acc, velbo_acc = _accumulate_metrics(
+                    schedule.beta, schedule.alpha_bar, vloss_acc, velbo_acc,
+                    em["loss"], em["per_sample_mse"], em["t"],
+                    compute_elbo=spec.per_batch_elbo,
+                )
                 v_b += 1
-            val_loss /= max(v_b, 1)
+            val_loss = float(vloss_acc) / max(v_b, 1)
             val_loss_log.append(val_loss)
 
             train_elbo = train_bpd = val_elbo = val_bpd = None
             train_nll = val_nll = None
             nll_seconds = 0.0
+            if spec.per_batch_elbo:
+                # Reference elbo/spectrum_indiv eval: val ELBO/BPD via the
+                # per-batch form + NLL on a test subset with timing
+                # (train_diffusion_elbo.py:358-415).
+                val_elbo = float(velbo_acc) / max(v_b, 1)
+                val_bpd = val_elbo / (dims * np.log(2.0))
+                val_elbo_log.append(val_elbo)
+                val_bpd_log.append(val_bpd)
+                nll_start = time.time()
+                eval_key, k = jax.random.split(eval_key)
+                val_nll = calculate_likelihood(
+                    inf_model, inf_vars, schedule,
+                    _subset_batches(
+                        ds.test_x, test_c, cfg.nll_subset,
+                        cfg.eval_batch_size, eval_np_rng,
+                    ),
+                    k, batch_size=cfg.eval_batch_size,
+                )
+                val_likelihood_log.append(val_nll)
+                nll_seconds = time.time() - nll_start
             if spec.eval_elbo and not spec.per_batch_elbo:
                 eval_key, k1, k2 = jax.random.split(eval_key, 3)
                 eb = cfg.eval_batch_size
@@ -361,14 +409,14 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
                     ds.train_x, train_c, cfg.elbo_subset, eb, eval_np_rng
                 )
                 train_elbo, train_bpd = calculate_elbo_and_bpd(
-                    model, inference_vars, schedule, train_batches, k1,
+                    inf_model, inf_vars, schedule, train_batches, k1,
                     dims=dims, batch_size=eb,
                 )
                 val_batches = list(
                     batch_iterator(ds.test_x, test_c, eb, shuffle=False)
                 )
                 val_elbo, val_bpd = calculate_elbo_and_bpd(
-                    model, inference_vars, schedule, val_batches, k2,
+                    inf_model, inf_vars, schedule, val_batches, k2,
                     dims=dims, batch_size=eb,
                 )
                 elbo_log.append(train_elbo)
@@ -380,7 +428,7 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
                 eval_key, k1, k2 = jax.random.split(eval_key, 3)
                 if not spec.val_nll_only:
                     train_nll = calculate_likelihood(
-                        model, inference_vars, schedule,
+                        inf_model, inf_vars, schedule,
                         _subset_batches(
                             ds.train_x, train_c, cfg.nll_subset,
                             cfg.eval_batch_size, eval_np_rng,
@@ -389,7 +437,7 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
                     )
                     likelihood_log.append(train_nll)
                 val_nll = calculate_likelihood(
-                    model, inference_vars, schedule,
+                    inf_model, inf_vars, schedule,
                     _subset_batches(
                         ds.test_x, test_c, cfg.nll_subset,
                         cfg.eval_batch_size, eval_np_rng,
@@ -400,7 +448,15 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
                 nll_seconds = time.time() - nll_start
 
             if spec.timing_log:
-                if spec.eval_elbo and spec.eval_nll:
+                if spec.per_batch_elbo:
+                    # Exact reference line formats (train_diffusion_elbo.py:407-410)
+                    logger.append(
+                        f"  Validation Loss: {val_loss:.6f}, "
+                        f"Val ELBO: {val_elbo:.6f}, Val BPD: {val_bpd:.6f}\n"
+                        f"  Negative Log Likelihood: {val_nll:.6f}\n"
+                        f"  Likelihood calculation took {nll_seconds:.2f} seconds\n"
+                    )
+                elif spec.eval_elbo and spec.eval_nll:
                     logger.eval_metrics(
                         val_loss,
                         train_elbo or 0.0, train_bpd or 0.0,
@@ -426,16 +482,27 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
                 f"Val Loss: {val_loss:.6f}"
             )
 
-        # ---- checkpoints (:476-478 + resumable state, new) ----------------
-        if (ep + 1) % cfg.ckpt_every == 0 or ep == cfg.n_epoch - 1:
+        # ---- checkpoints: mode-specific cadence/naming (paper.py:476-478,
+        # train_diffusion.py:154-155, initial.py:175-176) + resumable state --
+        save_weights, ckpt_name = weights_checkpoint_plan(
+            spec.ckpt_style, ep, cfg.n_epoch, cfg.ckpt_every
+        )
+        if save_weights:
             save_model_weights(
                 {"params": state.params, "batch_stats": state.batch_stats},
-                os.path.join(save_dir, f"model_epoch_{ep + 1}.msgpack"),
+                os.path.join(save_dir, ckpt_name),
             )
+        # The resumable train state (a capability beyond the reference) saves
+        # on its own cadence regardless of the weights-file contract.
+        if (ep + 1) % cfg.ckpt_every == 0 or ep == cfg.n_epoch - 1:
             save_train_checkpoint(state, ep + 1, train_key, ckpt_path)
 
     total_training_time = time.time() - training_start
     inference_vars = {"params": state.params, "batch_stats": state.batch_stats}
+    # All post-training sampling/metrics run on the BN-folded inference model
+    # (models/fold_bn.py): bit-identical fp32 math, no BatchNorm work in the
+    # ~1500-step reverse scans.
+    model, inference_vars = fold_inference(model, inference_vars)
 
     if spec.timing_log:
         logger.training_complete(
@@ -454,9 +521,11 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
         viz.plot_training_metrics(
             output_dir, cfg.n_epoch, loss_log, val_loss_log,
             likelihood_log, val_likelihood_log,
-            elbo_log if not spec.per_batch_elbo else [],
-            val_elbo_log, bpd_log if not spec.per_batch_elbo else [], val_bpd_log,
+            elbo_log, val_elbo_log, bpd_log, val_bpd_log,
             eval_every=cfg.eval_every,
+            # per-batch modes log ELBO/BPD every epoch (continuous curves,
+            # train_diffusion_elbo.py:466-483), paper modes at eval points
+            elbo_per_epoch=spec.per_batch_elbo,
         )
     elif loss_log:
         title = (

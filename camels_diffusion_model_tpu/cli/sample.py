@@ -62,6 +62,11 @@ def generate_comparison_plot(
         )
         variables = template
 
+    # Inference path: fold BatchNorms into the convs (identical math, no BN
+    # work in the 1500-step scan).
+    from ..models.fold_bn import fold_inference
+
+    model, variables = fold_inference(model, variables)
     schedule = make_schedule(timesteps)  # must match training (:191-197)
 
     print("Loading CAMELS data...")

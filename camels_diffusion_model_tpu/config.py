@@ -43,6 +43,16 @@ class ModeSpec:
     sensitivity: bool = True  # per-parameter sensitivity rows
     training_metrics_figure: bool = False  # 4-panel training_metrics.png
     val_nll_only: bool = False  # spectrum_final: NLL on the test split only
+    # Checkpoint contract (differs per reference script):
+    #   "plus1":  save when (ep+1) % every == 0 or last; name model_epoch_{ep+1}
+    #             (code/ conditional scripts, e.g. paper.py:476-478)
+    #   "list25": save when (ep+1) in {25,50,...}; name model_epoch_{ep} — note
+    #             the reference's own off-by-one (train_diffusion.py:154-155),
+    #             and NO forced last-epoch save
+    #   "mod0":   save when ep % every == 0 or last; name model_epoch_{ep}
+    #             (initial.py:175-176, initial2/main/26thNovCode)
+    ckpt_every: int = 25
+    ckpt_style: str = "plus1"
     # Model/data selection (legacy root-level variants):
     model_variant: str = "canonical"  # "canonical" | "deep" | "big"
     data_style: str = "code"  # normalization recipe (data.pipeline)
@@ -66,6 +76,7 @@ MODES = {
         param_grid=False,
         guidance_sweep=False,
         sensitivity=False,
+        ckpt_style="list25",
     ),
     # code/train_diffusion_condition.py (:81)
     "condition": ModeSpec(
@@ -95,7 +106,10 @@ MODES = {
         ),
         eval_nll=True,
     ),
-    # code/train_diffusion_elbo.py (:159)
+    # code/train_diffusion_elbo.py (:159) — per-batch ELBO/BPD during training
+    # plus, at each eval point, val ELBO/BPD (per-batch form over the test
+    # loader) and a test-subset NLL with timing line (:358-415), and the
+    # 4-panel training_metrics.png with per-epoch ELBO/BPD curves (:438-487).
     "elbo": ModeSpec(
         name="elbo",
         prefix=(
@@ -103,6 +117,7 @@ MODES = {
             "_params_{num_params}"
         ),
         per_batch_elbo=True,
+        training_metrics_figure=True,
     ),
     # code/train_diffusion_paper.py / paper1.py (:193)
     "paper": ModeSpec(
@@ -160,6 +175,8 @@ MODES = {
         model_variant="deep",
         data_style="initial",
         def_height=128,
+        ckpt_every=4,
+        ckpt_style="mod0",
     ),
     # initial2.py — 64x64 unconditional variant (prefix :79)
     "initial2": ModeSpec(
@@ -172,6 +189,8 @@ MODES = {
         param_grid=False,
         guidance_sweep=False,
         sensitivity=False,
+        ckpt_every=4,
+        ckpt_style="mod0",
     ),
     # main.py — "big" n_feat=256 128x128 variant with STANDARD q_sample
     # scaling (main.py:156) and fresh-noise sampling (:197-205)
@@ -191,6 +210,8 @@ MODES = {
         def_n_feat=256,
         def_n_cfeat=10,
         pure_noise_sampling=True,
+        ckpt_every=4,
+        ckpt_style="mod0",
     ),
     # 26thNovCode.py — minimal unconditional variant (prefix :83)
     "nov26": ModeSpec(
@@ -202,6 +223,8 @@ MODES = {
         param_grid=False,
         guidance_sweep=False,
         sensitivity=False,
+        ckpt_every=4,
+        ckpt_style="mod0",
     ),
     # code/train_diffusion_spectrum_indiv.py (:158)
     "spectrum_indiv": ModeSpec(
@@ -246,6 +269,11 @@ class ExperimentConfig:
 
     # TPU-native knobs (no reference counterpart):
     dtype: str = "float32"  # model compute dtype: "float32" | "bfloat16"
+    # init_conv residual-projection mode: "learned" (default, correct design)
+    # or "stochastic" (reference-faithful fresh random 1x1 conv per forward,
+    # diffusion_utilities.py:54) — plumbed end-to-end through train step,
+    # eval, samplers, and likelihood passes via the "shortcut" RNG stream.
+    shortcut: str = "learned"
     n_eval_images: int = 10
     elbo_subset: int = 2000
     nll_subset: int = 200
@@ -267,6 +295,8 @@ class ExperimentConfig:
             self.height = spec.def_height
         if self.n_feat == 128 and spec.def_n_feat != 128:
             self.n_feat = spec.def_n_feat
+        if self.ckpt_every == 25 and spec.ckpt_every != 25:
+            self.ckpt_every = spec.ckpt_every
 
     @property
     def spec(self) -> ModeSpec:
@@ -305,6 +335,13 @@ def config_from_argv(mode: str, argv, **overrides) -> ExperimentConfig:
     spectrum_indiv: 4th arg is ``param_index`` (0-based column).
     """
     spec = MODES[mode]
+    n_args = 4 if (spec.conditional or spec.param_index_mode) else 3
+    if len(argv) < n_args:
+        forms = "<lr> <epochs> <timesteps>" + (
+            " <param_index>" if spec.param_index_mode
+            else " <num_params>" if spec.conditional else ""
+        )
+        raise SystemExit(f"usage: train_diffusion_{mode}.py {forms}")
     lrate = float(argv[0])
     n_epoch = int(argv[1])
     timesteps = int(argv[2])

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .sampler import SamplerOutput, _predict_eps
+from .sampler import SamplerOutput, _film_tables, _predict_eps_film
 from .schedule import DDPMSchedule
 
 
@@ -38,19 +38,21 @@ def ddim_timesteps(timesteps: int, n_steps: int) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("model", "use_cfg"))
 def _ddim_scan(
-    model, variables, alpha_bar, x, params, guide_w, rng, taus, taus_prev, eta,
-    timesteps_static, *, use_cfg: bool
+    model, variables, alpha_bar, x, cemb1, cemb2, temb1_tab, temb2_tab,
+    guide_w, rng, taus, taus_prev, eta, *, use_cfg: bool
 ):
-    timesteps = timesteps_static.shape[0] - 1  # = schedule T (static via shape)
-
     def body(carry, ts):
         x, key = carry
         t, t_prev = ts
-        key, zkey = jax.random.split(key)
+        key, zkey, skey = jax.random.split(key, 3)
         ab_t = alpha_bar[t]
         ab_prev = alpha_bar[t_prev]
-        t_norm = (t / timesteps).astype(jnp.float32).reshape(1)
-        eps = _predict_eps(model, variables, x, t_norm, params, use_cfg, guide_w)
+        eps = _predict_eps_film(
+            model, variables, x,
+            (cemb1, cemb2),
+            (temb1_tab[t][None], temb2_tab[t][None]),
+            use_cfg, guide_w, shortcut_key=skey,
+        )
         eps = eps.astype(x.dtype)
         x0_hat = (x - jnp.sqrt(1.0 - ab_t) * eps) * jax.lax.rsqrt(ab_t)
         sigma = (
@@ -94,6 +96,10 @@ def sample_ddim(
     taus_prev = np.concatenate([taus[1:], np.zeros(1, np.int32)])
     w_arr = np.asarray(guide_w, np.float64)
     use_cfg = bool(np.any(w_arr > 0.0))
+    params = jnp.asarray(params)
+    cemb1, cemb2, temb1_tab, temb2_tab = _film_tables(
+        model, variables, params, schedule.timesteps, use_cfg
+    )
 
     t0 = time.time()
     x = _ddim_scan(
@@ -101,13 +107,15 @@ def sample_ddim(
         variables,
         schedule.alpha_bar,
         jnp.asarray(x_init),
-        jnp.asarray(params),
+        cemb1,
+        cemb2,
+        temb1_tab,
+        temb2_tab,
         jnp.asarray(guide_w, jnp.float32),
         rng,
         jnp.asarray(taus),
         jnp.asarray(taus_prev),
         jnp.float32(eta),
-        schedule.beta,
         use_cfg=use_cfg,
     )
     jax.block_until_ready(x)

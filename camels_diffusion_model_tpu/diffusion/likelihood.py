@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..models.context_unet import model_rngs
 from .schedule import DDPMSchedule
 
 
@@ -68,10 +69,11 @@ def elbo_bpd_batch(
 
     def body(acc, t_and_key):
         t, key = t_and_key
-        noise = jax.random.normal(key, x.shape, x.dtype)
+        nkey, skey = jax.random.split(key)
+        noise = jax.random.normal(nkey, x.shape, x.dtype)
         x_t = jnp.sqrt(alpha_bar[t]) * x + jnp.sqrt(1.0 - alpha_bar[t]) * noise
         t_norm = (t / timesteps).astype(jnp.float32).reshape(1)
-        pred = model.apply(variables, x_t, t_norm, c)
+        pred = model.apply(variables, x_t, t_norm, c, rngs=model_rngs(model, skey))
         mse = _per_sample_mse(pred, noise)
         weight = jnp.where(t > 1, 0.5 * beta[t] / (1.0 - alpha_bar[t]), 0.0)
         return acc + weight * mse / sampled_t.shape[0], None
@@ -95,12 +97,12 @@ def _t_sweep_chunk(model, variables, beta, alpha_bar, x, c, acc, rng, ts, *,
 
     def body(carry, t):
         acc, key = carry
-        key, nkey = jax.random.split(key)
+        key, nkey, skey = jax.random.split(key, 3)
         noise = jax.random.normal(nkey, x.shape, x.dtype)
         # Reference (non-standard) scaling: sqrt(ab)x + (1-ab)n  (:166)
         x_t = jnp.sqrt(alpha_bar[t]) * x + (1.0 - alpha_bar[t]) * noise
         t_norm = (t / timesteps).astype(jnp.float32).reshape(1)
-        pred = model.apply(variables, x_t, t_norm, c)
+        pred = model.apply(variables, x_t, t_norm, c, rngs=model_rngs(model, skey))
         mse = _per_sample_mse(pred, noise)
         if weighting == "nll":
             w = 1.0 / (2.0 * beta[t])  # (:177)

@@ -11,6 +11,10 @@ Capability parity with the reference's samplers
   per step; only the FiLM-conditioned decoder runs on a doubled batch
   [cond, uncond].  The reference runs the FULL model twice per step
   (train_diffusion_paper.py:600-606).  ~27% fewer FLOPs at identical math.
+* FiLM embeddings are hoisted out of the scan entirely: the context MLPs run
+  once per sampler invocation (context is step-invariant) and the time MLPs
+  once for ALL T steps as a (T+1, C) table gathered per step — the scan body
+  contains only the U-Net convolutions, the gather, and the ancestral update.
 * The unconditional CFG branch uses a zero context vector, matching
   ``uncond_params = zeros_like(params)`` (train_diffusion_paper.py:587).
 * Intermediate states are captured on-device into a preallocated buffer at the
@@ -20,6 +24,13 @@ Capability parity with the reference's samplers
 * Semantics note (matches the reference exactly): with ``guide_w == 0`` the
   model is called once with the conditional context (NOT the unconditional
   branch); ``z = 0`` at the final step ``t == 1``.
+* Stochastic-shortcut models (``model.shortcut == "stochastic"``, the
+  reference-faithful fresh-random-1x1 quirk) draw their per-forward projection
+  from a dedicated key split inside the scan body — fully reproducible under a
+  fixed sampler key.
+
+For best inference throughput fold the BatchNorms first
+(``models.fold_bn.fold_inference``); the samplers accept either form.
 
 Images are NHWC: (batch, size, size, channels).
 """
@@ -27,6 +38,7 @@ Images are NHWC: (batch, size, size, channels).
 from __future__ import annotations
 
 import functools
+import os as _os
 import time
 from typing import NamedTuple, Optional
 
@@ -34,21 +46,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..models.context_unet import model_rngs
 from .schedule import DDPMSchedule, p_sample_step
-
 
 # Opt-in fused Pallas ancestral-update kernel (ops/pallas/sampler_step.py).
 # The update is a small elementwise op next to the model forward, so this is
 # off by default; it exists to guarantee single-pass HBM traffic when XLA's
 # fusion decisions around the scan body regress.
-_USE_PALLAS_STEP = __import__("os").environ.get("CAMELS_PALLAS_STEP", "0") == "1"
+_USE_PALLAS_STEP = _os.environ.get("CAMELS_PALLAS_STEP", "0") == "1"
+
+# Max reverse steps executed per device call (see _sample_scan_chunk).
+DEFAULT_STEPS_PER_CALL = int(_os.environ.get("CAMELS_SAMPLER_CHUNK", "250"))
 
 
 class SamplerOutput(NamedTuple):
     x: jax.Array  # final samples, (B, H, W, C)
     intermediate: jax.Array  # saved states, (n_saves, B, H, W, C)
     sampling_time: float  # wall-clock seconds (host-measured)
-    timestep_times: np.ndarray  # per-step seconds (uniform: total / T)
+    timestep_times: np.ndarray  # per-step seconds, measured per device chunk
 
 
 def _save_schedule(timesteps: int, save_rate: int) -> tuple[np.ndarray, np.ndarray, int]:
@@ -61,30 +76,72 @@ def _save_schedule(timesteps: int, save_rate: int) -> tuple[np.ndarray, np.ndarr
     return mask.astype(np.bool_), slots.astype(np.int32), int(mask.sum())
 
 
-def _predict_eps(model, variables, x, t_norm, params, use_cfg: bool, guide_w):
-    """One denoiser evaluation, optionally with fused classifier-free guidance.
+def _predict_eps(
+    model, variables, x, t_norm, params, use_cfg: bool, guide_w,
+    shortcut_key=None,
+):
+    """One denoiser evaluation with inline FiLM embedding, optionally with
+    fused classifier-free guidance.
 
     ``guide_w`` may be a scalar or a per-sample (B,) array — the latter lets a
     whole guidance-strength sweep run as ONE batched sampler invocation (the
     reference loops one sampler run per strength, paper.py:1013-1019)."""
+    rngs = model_rngs(model, shortcut_key)
     if not use_cfg:
-        return model.apply(variables, x, t_norm, params)
-    enc = model.apply(variables, x, method="encode")
+        return model.apply(variables, x, t_norm, params, rngs=rngs)
+    enc = model.apply(variables, x, method="encode", rngs=rngs)
     enc2 = jax.tree_util.tree_map(
         lambda a: jnp.concatenate([a, a], axis=0), enc
     )
     c2 = jnp.concatenate([params, jnp.zeros_like(params)], axis=0)
     eps2 = model.apply(variables, enc2, t_norm, c2, method="decode")
     eps_cond, eps_uncond = jnp.split(eps2, 2, axis=0)
+    return _combine_cfg(eps_cond, eps_uncond, guide_w)
+
+
+def _combine_cfg(eps_cond, eps_uncond, guide_w):
     w = jnp.asarray(guide_w, jnp.float32)
     if w.ndim > 0:
         w = w.reshape((-1,) + (1,) * (eps_cond.ndim - 1))
     return eps_uncond + w.astype(eps_cond.dtype) * (eps_cond - eps_uncond)
 
 
+def _predict_eps_film(
+    model, variables, x, cembs, tembs, use_cfg: bool, guide_w,
+    shortcut_key=None,
+):
+    """Hot-path denoiser evaluation with PRECOMPUTED FiLM embeddings.
+
+    ``cembs``: (cemb1, cemb2) — (B, C) for the plain path or (2B, C)
+    [cond, uncond] for CFG.  ``tembs``: (temb1, temb2) — (1, C) rows gathered
+    from the per-step tables (broadcast over the batch, the reference's
+    scalar-t semantics)."""
+    rngs = model_rngs(model, shortcut_key)
+    enc = model.apply(variables, x, method="encode", rngs=rngs)
+    film = (cembs[0], tembs[0], cembs[1], tembs[1])
+    if not use_cfg:
+        return model.apply(variables, enc, film=film, method="decode")
+    enc2 = jax.tree_util.tree_map(
+        lambda a: jnp.concatenate([a, a], axis=0), enc
+    )
+    eps2 = model.apply(variables, enc2, film=film, method="decode")
+    eps_cond, eps_uncond = jnp.split(eps2, 2, axis=0)
+    return _combine_cfg(eps_cond, eps_uncond, guide_w)
+
+
+def _supports_film(model) -> bool:
+    """Whether the model exposes the split encode/decode + embedding-table
+    API (ContextUnet does).  Duck-typed eps-models with only ``apply(v, x, t,
+    c)`` fall back to the inline-embedding path."""
+    return all(
+        hasattr(model, m)
+        for m in ("encode", "decode", "time_embed", "context_embed")
+    )
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "use_cfg", "timesteps"),
+    static_argnames=("model", "use_cfg", "use_film", "timesteps"),
     donate_argnums=(5, 6),  # x, buf — carried across chunk calls in-place
 )
 def _sample_scan_chunk(
@@ -96,12 +153,17 @@ def _sample_scan_chunk(
     x,
     buf,
     params,
+    cemb1,
+    cemb2,
+    temb1_tab,
+    temb2_tab,
     guide_w,
     rng,
     steps,
     write_slots,
     *,
     use_cfg: bool,
+    use_film: bool,
     timesteps: int,
 ):
     """Scan over one contiguous chunk of the reversed step sequence.
@@ -122,11 +184,22 @@ def _sample_scan_chunk(
     def body(carry, xs):
         x, buffer, key = carry
         i, slot = xs
-        key, zkey = jax.random.split(key)
+        key, zkey, skey = jax.random.split(key, 3)
         z = jax.random.normal(zkey, x.shape, x.dtype)
         z = jnp.where(i > 1, z, jnp.zeros_like(z))
-        t_norm = (i / timesteps).astype(jnp.float32).reshape(1)
-        eps = _predict_eps(model, variables, x, t_norm, params, use_cfg, guide_w)
+        if use_film:
+            eps = _predict_eps_film(
+                model, variables, x,
+                (cemb1, cemb2),
+                (temb1_tab[i][None], temb2_tab[i][None]),
+                use_cfg, guide_w, shortcut_key=skey,
+            )
+        else:
+            t_norm = (i / timesteps).astype(jnp.float32).reshape(1)
+            eps = _predict_eps(
+                model, variables, x, t_norm, params, use_cfg, guide_w,
+                shortcut_key=skey,
+            )
         carry_dtype = x.dtype
         if _USE_PALLAS_STEP and (x.size % 128 == 0):
             from ..ops.pallas.sampler_step import fused_p_sample_step
@@ -212,10 +285,19 @@ def sample_ddpm_from_noise(
     )
 
 
-import os as _os
-
-# Max reverse steps executed per device call (see _sample_scan_chunk).
-DEFAULT_STEPS_PER_CALL = int(_os.environ.get("CAMELS_SAMPLER_CHUNK", "250"))
+def _film_tables(model, variables, params, timesteps: int, use_cfg: bool):
+    """Hoist every FiLM MLP out of the scan: context embeddings once per run
+    (doubled [cond, uncond] for CFG) and time embeddings for ALL timesteps as
+    (T+1, C) gather tables."""
+    c = params
+    if use_cfg:
+        c = jnp.concatenate([params, jnp.zeros_like(params)], axis=0)
+    cemb1, cemb2 = model.apply(variables, c, method="context_embed")
+    t_norm = (
+        jnp.arange(timesteps + 1, dtype=jnp.float32) / timesteps
+    ).reshape(-1, 1)
+    temb1_tab, temb2_tab = model.apply(variables, t_norm, method="time_embed")
+    return cemb1, cemb2, temb1_tab, temb2_tab
 
 
 def _run(
@@ -241,6 +323,12 @@ def _run(
             "per-sample guide_w must be all-positive (w=0 uses a different "
             "single-forward semantics in the reference; run it separately)"
         )
+    n_real = int(np.shape(x_init)[0])
+    if w_arr.ndim > 0 and w_arr.shape[0] != n_real:
+        raise ValueError(
+            f"per-sample guide_w length {w_arr.shape[0]} must match the "
+            f"batch size {n_real}"
+        )
     chunk = min(timesteps, steps_per_call or DEFAULT_STEPS_PER_CALL)
     n_chunks = -(-timesteps // chunk)
     # First chunk takes the remainder so at most two shapes compile.
@@ -249,7 +337,6 @@ def _run(
     t0 = time.time()
     x = jnp.asarray(x_init)
     params = jnp.asarray(params)
-    n_real = x.shape[0]
     if mesh is not None:
         # Shard the batch over the mesh's data axis (pad to an even shard).
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -285,9 +372,26 @@ def _run(
         if pad:
             w = jnp.concatenate([w, jnp.ones((pad,), w.dtype)])
         w = jax.device_put(w, NamedSharding(mesh, P(mesh.axis_names[0])))
-    elif w.ndim > 0 and w.shape[0] != x.shape[0]:
-        raise ValueError("per-sample guide_w length must match the batch")
+
+    use_film = _supports_film(model)
+    if use_film:
+        cemb1, cemb2, temb1_tab, temb2_tab = _film_tables(
+            model, variables, params, timesteps, use_cfg
+        )
+    else:
+        cemb1 = cemb2 = temb1_tab = temb2_tab = None
+
+    def barrier(arr):
+        # A dependent-scalar host read is the completion barrier: on the
+        # experimental tunneled-TPU platform, block_until_ready can return
+        # before the computation has actually finished, which would corrupt
+        # the wall-clock numbers written to timing_and_performance.log.
+        jax.block_until_ready(arr)
+        _ = float(arr.reshape(-1)[0])
+
+    per_step = np.zeros((timesteps,), np.float64)
     start = 0
+    chunk_t0 = time.time()
     for ci in range(n_chunks):
         size = first if ci == 0 else chunk
         x, buf, key = _sample_scan_chunk(
@@ -299,22 +403,27 @@ def _run(
             x,
             buf,
             params,
+            cemb1,
+            cemb2,
+            temb1_tab,
+            temb2_tab,
             w,
             key,
             jnp.asarray(steps[start : start + size]),
             jnp.asarray(write_slots[start : start + size]),
             use_cfg=use_cfg,
+            use_film=use_film,
             timesteps=timesteps,
         )
+        # Real per-chunk timing (the reference reports measured per-step wall
+        # times, train_diffusion_paper.py:613-621; here each device chunk is
+        # timed and its steps share the chunk average).
+        barrier(x)
+        now = time.time()
+        per_step[start : start + size] = (now - chunk_t0) / size
+        chunk_t0 = now
         start += size
-    # A dependent-scalar host read is the completion barrier: on the
-    # experimental tunneled-TPU platform, block_until_ready can return before
-    # the computation has actually finished, which would corrupt the
-    # wall-clock numbers written to timing_and_performance.log.
-    jax.block_until_ready(x)
-    _ = float(x.reshape(-1)[0])
     total = time.time() - t0
-    per_step = np.full((timesteps,), total / timesteps, np.float64)
     x = x[:n_real]
     intermediate = buf[:n_saves, :n_real]
     return SamplerOutput(

@@ -73,6 +73,7 @@ class ResidualConvBlock(nn.Module):
     out_channels: int
     is_res: bool = False
     shortcut: str = "learned"  # "learned" | "stochastic"
+    fold_bn: bool = False  # inference-only: BN running stats folded into convs
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -81,13 +82,14 @@ class ResidualConvBlock(nn.Module):
 
         def stage(h, name):
             h = Conv3x3(self.out_channels, dtype=self.dtype, name=f"{name}")(h)
-            h = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.9,
-                epsilon=1e-5,
-                dtype=jnp.float32,
-                name=f"{name}_bn",
-            )(h)
+            if not self.fold_bn:
+                h = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    dtype=jnp.float32,
+                    name=f"{name}_bn",
+                )(h)
             return nn.relu(h)
 
         x1 = stage(x, "conv1")
@@ -139,16 +141,17 @@ class UnetDown(nn.Module):
     """Two ResidualConvBlocks then 2x2 max-pool (diffusion_utilities.py:103-116)."""
 
     out_channels: int
+    fold_bn: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
-        x = ResidualConvBlock(self.out_channels, dtype=self.dtype, name="block1")(
-            x, train=train
-        )
-        x = ResidualConvBlock(self.out_channels, dtype=self.dtype, name="block2")(
-            x, train=train
-        )
+        x = ResidualConvBlock(
+            self.out_channels, fold_bn=self.fold_bn, dtype=self.dtype, name="block1"
+        )(x, train=train)
+        x = ResidualConvBlock(
+            self.out_channels, fold_bn=self.fold_bn, dtype=self.dtype, name="block2"
+        )(x, train=train)
         return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
 
 
@@ -157,12 +160,16 @@ class UnetUp(nn.Module):
     (diffusion_utilities.py:79-100)."""
 
     out_channels: int
+    fold_bn: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, skip: jax.Array, *, train: bool = False) -> jax.Array:
         x = jnp.concatenate([x, skip], axis=-1)
-        fan_in = x.shape[-1] * 4  # k=2x2 transposed conv fan-in (torch semantics)
+        # torch's kaiming_uniform on ConvTranspose2d uses weight.size(1) =
+        # out_channels (weight is (I, O, kh, kw)), so the init bound is
+        # 1/sqrt(out_channels * kh * kw).
+        fan_in = self.out_channels * 4
         x = nn.ConvTranspose(
             self.out_channels,
             kernel_size=(2, 2),
@@ -172,13 +179,54 @@ class UnetUp(nn.Module):
             bias_init=torch_conv_init(fan_in),
             name="upconv",
         )(x)
-        x = ResidualConvBlock(self.out_channels, dtype=self.dtype, name="block1")(
-            x, train=train
-        )
-        x = ResidualConvBlock(self.out_channels, dtype=self.dtype, name="block2")(
-            x, train=train
-        )
+        x = ResidualConvBlock(
+            self.out_channels, fold_bn=self.fold_bn, dtype=self.dtype, name="block1"
+        )(x, train=train)
+        x = ResidualConvBlock(
+            self.out_channels, fold_bn=self.fold_bn, dtype=self.dtype, name="block2"
+        )(x, train=train)
         return x
+
+
+class GroupNormAct(nn.Module):
+    """GroupNorm + affine + activation with a fused Pallas TPU path.
+
+    Parameter names ("scale"/"bias") match ``nn.GroupNorm`` exactly, so
+    checkpoints are interchangeable between the XLA and Pallas paths and with
+    torch_interop's up0_norm/out_norm mapping.  Statistics are fp32 either
+    way; ``use_pallas`` selects the single-HBM-pass kernel
+    (ops/pallas/groupnorm.py) A/B'd in ARCHITECTURE.md.
+    """
+
+    num_groups: int = 8
+    epsilon: float = 1e-5
+    act: str = "relu"
+    use_pallas: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from .context_unet import _act  # shared activation registry
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if self.use_pallas and x.ndim == 4:
+            from ..ops.pallas.groupnorm import fused_groupnorm_act
+
+            return fused_groupnorm_act(
+                x, scale, bias, num_groups=self.num_groups,
+                eps=self.epsilon, act=self.act,
+            ).astype(self.dtype)
+        b, h, w, _ = x.shape
+        xg = x.astype(jnp.float32).reshape(
+            b, h * w, self.num_groups, c // self.num_groups
+        )
+        mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+        var = jnp.var(xg, axis=(1, 3), keepdims=True)
+        y = ((xg - mean) * jax.lax.rsqrt(var + self.epsilon)).reshape(x.shape)
+        y = y * scale + bias
+        return _act(self.act)(y.astype(self.dtype))
 
 
 class EmbedFC(nn.Module):

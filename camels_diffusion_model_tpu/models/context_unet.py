@@ -30,7 +30,14 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .blocks import EmbedFC, ResidualConvBlock, UnetDown, UnetUp, torch_conv_init
+from .blocks import (
+    EmbedFC,
+    GroupNormAct,
+    ResidualConvBlock,
+    UnetDown,
+    UnetUp,
+    torch_conv_init,
+)
 
 Dtype = Any
 
@@ -83,6 +90,8 @@ class ContextUnet(nn.Module):
     final_tanh: bool = False
     extra_out_conv: bool = False
     shortcut: str = "learned"  # "learned" | "stochastic" (reference quirk)
+    fold_bn: bool = False  # inference-only: BatchNorms folded into convs
+    pallas_gn: bool = False  # fused Pallas GroupNorm+act in the decoder heads
     dtype: Dtype = jnp.float32
 
     # ---- variant factories -------------------------------------------------
@@ -132,11 +141,14 @@ class ContextUnet(nn.Module):
         # Down-path channel progression: [n, n, 2n] (canonical) or [n, n, 2n, 4n].
         down_feats = [n] + [n * (2**i) for i in range(1, self.levels)]
         self.init_conv = ResidualConvBlock(
-            n, is_res=True, shortcut=self.shortcut, dtype=self.dtype,
-            name="init_conv",
+            n, is_res=True, shortcut=self.shortcut, fold_bn=self.fold_bn,
+            dtype=self.dtype, name="init_conv",
         )
         self.down_blocks = [
-            UnetDown(down_feats[i], dtype=self.dtype, name=f"down{i + 1}")
+            UnetDown(
+                down_feats[i], fold_bn=self.fold_bn, dtype=self.dtype,
+                name=f"down{i + 1}",
+            )
             for i in range(self.levels)
         ]
 
@@ -160,15 +172,19 @@ class ContextUnet(nn.Module):
             bias_init=torch_conv_init(cb * bottom * bottom),
             name="up0_conv",
         )
-        self.up0_norm = nn.GroupNorm(
-            num_groups=8, epsilon=1e-5, dtype=jnp.float32, name="up0_norm"
+        self.up0_norm = GroupNormAct(
+            num_groups=8, epsilon=1e-5, act=self.up0_act,
+            use_pallas=self.pallas_gn, dtype=self.dtype, name="up0_norm",
         )
 
         # Up-path output channels mirror the reference:
         # canonical: up1 -> n, up2 -> n; deep/big: up1 -> 2n, up2 -> n, up3 -> n.
         up_feats = [max(n, cb // (2**i)) for i in range(1, self.levels + 1)]
         self.up_blocks = [
-            UnetUp(up_feats[i], dtype=self.dtype, name=f"up{i + 1}")
+            UnetUp(
+                up_feats[i], fold_bn=self.fold_bn, dtype=self.dtype,
+                name=f"up{i + 1}",
+            )
             for i in range(self.levels)
         ]
 
@@ -191,8 +207,9 @@ class ContextUnet(nn.Module):
                 bias_init=torch_conv_init(n * 9),
                 name="out_conv_extra",
             )
-        self.out_norm = nn.GroupNorm(
-            num_groups=8, epsilon=1e-5, dtype=jnp.float32, name="out_norm"
+        self.out_norm = GroupNormAct(
+            num_groups=8, epsilon=1e-5, act=self.out_act,
+            use_pallas=self.pallas_gn, dtype=self.dtype, name="out_norm",
         )
         self.out_conv2 = nn.Conv(
             self.in_channels,
@@ -238,21 +255,48 @@ class ContextUnet(nn.Module):
         temb2 = self.timeembed2(t).reshape(-1, 1, 1, cb // 2)
         return cemb1, temb1, cemb2, temb2
 
+    def time_embed(self, t: jax.Array):
+        """Both time-embedding MLPs for a batch of normalized timesteps.
+
+        The sampler precomputes these ONCE for every step of the reverse scan
+        (t is known for all steps up front) instead of re-running the MLPs per
+        step; returns ((N, cb), (N, cb//2))."""
+        return self.timeembed1(t), self.timeembed2(t)
+
+    def context_embed(self, c: jax.Array):
+        """Both context-embedding MLPs; context is constant across all reverse
+        steps, so the sampler runs these once per batch.  ((N, cb), (N, cb//2))."""
+        return self.contextembed1(c), self.contextembed2(c)
+
     # ---- conditioned decoder ------------------------------------------------
 
     def decode(
         self,
         enc: EncoderState,
-        t: jax.Array,
+        t: Optional[jax.Array] = None,
         c: Optional[jax.Array] = None,
         *,
+        film=None,
         train: bool = False,
     ) -> jax.Array:
-        batch = enc.x0.shape[0]
-        cemb1, temb1, cemb2, temb2 = self.embed(t, c, batch)
+        """Decoder with FiLM conditioning.
 
-        u = self.up0_conv(enc.hiddenvec)
-        u = _act(self.up0_act)(self.up0_norm(u).astype(self.dtype))
+        Either pass ``t``/``c`` (embeddings computed inline, the reference's
+        semantics) or ``film=(cemb1, temb1, cemb2, temb2)`` as flat ``(N, C)``
+        arrays precomputed via :meth:`time_embed`/:meth:`context_embed` — the
+        sampler's hot path, which removes all four MLPs from the scan body.
+        """
+        batch = enc.x0.shape[0]
+        if film is not None:
+            cb = self.bottleneck_feat
+            cemb1, temb1, cemb2, temb2 = (
+                a.astype(self.dtype).reshape(-1, 1, 1, d)
+                for a, d in zip(film, (cb, cb, cb // 2, cb // 2))
+            )
+        else:
+            cemb1, temb1, cemb2, temb2 = self.embed(t, c, batch)
+
+        u = self.up0_norm(self.up0_conv(enc.hiddenvec))  # GN + activation
 
         skips = (enc.x0,) + enc.downs  # shallowest -> deepest
         for i, blk in enumerate(self.up_blocks):
@@ -265,7 +309,7 @@ class ContextUnet(nn.Module):
         out = self.out_conv1(jnp.concatenate([u, enc.x0], axis=-1))
         if self.extra_out_conv:
             out = self.out_conv_extra(out)
-        out = _act(self.out_act)(self.out_norm(out).astype(self.dtype))
+        out = self.out_norm(out)  # GN + activation
         out = self.out_conv2(out)
         if self.final_tanh:
             out = jnp.tanh(out)
@@ -283,6 +327,17 @@ class ContextUnet(nn.Module):
         time ``t`` (scalar or (B,) float of t/timesteps) with context ``c``."""
         enc = self.encode(x, train=train)
         return self.decode(enc, t, c, train=train)
+
+
+def model_rngs(model, key):
+    """RNG-stream dict for ``model.apply``: the reference-faithful stochastic
+    init_conv shortcut (diffusion_utilities.py:54) draws a fresh projection
+    from the "shortcut" stream each forward; learned-shortcut models need no
+    streams.  The branch is on a static module attribute, so it is resolved at
+    trace time (jit-safe)."""
+    if getattr(model, "shortcut", "learned") == "stochastic":
+        return {"shortcut": key}
+    return None
 
 
 def count_params(variables) -> int:

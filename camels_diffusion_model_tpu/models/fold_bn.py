@@ -1,0 +1,80 @@
+"""Fold BatchNorm running statistics into the preceding convolutions.
+
+At inference (``train=False``) every BatchNorm in the ResidualConvBlocks is a
+fixed per-channel affine ``y = scale * (x - mean) / sqrt(var + eps) + bias``.
+Because each one directly follows a conv, the affine folds exactly into that
+conv's kernel and bias:
+
+    kernel' = kernel * f        with  f = scale / sqrt(var + eps)
+    bias'   = (bias - mean) * f + bn_bias
+
+This eliminates ALL BatchNorm work from the sampler's hot loop (18 BN layers
+per forward in the canonical model, evaluated ~3,000x per 1500-step CFG run)
+and removes the fp32 upcast between conv and ReLU, letting XLA keep the whole
+conv->ReLU chain in one bf16 fusion.  GroupNorms (data-dependent) are left
+untouched.
+
+Reference counterpart: none — the reference runs torch BatchNorm in eval mode
+every forward (diffusion_utilities.py:28,35).  This is a TPU-serving
+optimization with bit-identical fp32 math (verified in
+tests/test_model.py::test_fold_bn_matches_unfolded).
+
+Usage::
+
+    inf_model, inf_vars = fold_inference(model, variables)
+    # inf_model.apply(inf_vars, x, t, c) == model.apply(variables, x, t, c)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import numpy as np
+
+BN_EPS = 1e-5  # must match blocks.ResidualConvBlock's nn.BatchNorm epsilon
+
+
+def fold_batchnorm_variables(variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Return a params-only variables dict with every ``<stage>_bn`` folded
+    into its sibling ``<stage>`` conv.  Matches the init structure of the same
+    model built with ``fold_bn=True``."""
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables.get("batch_stats") or {})
+
+    def walk(p: Dict[str, Any], s: Dict[str, Any]) -> Dict[str, Any]:
+        out: Dict[str, Any] = {}
+        for name, value in p.items():
+            if name.endswith("_bn"):
+                continue  # consumed by its conv sibling below
+            bn_name = f"{name}_bn"
+            if bn_name in p:
+                kernel = np.asarray(value["conv"]["kernel"], np.float32)
+                bias = np.asarray(value["conv"]["bias"], np.float32)
+                scale = np.asarray(p[bn_name]["scale"], np.float32)
+                bn_bias = np.asarray(p[bn_name]["bias"], np.float32)
+                mean = np.asarray(s[bn_name]["mean"], np.float32)
+                var = np.asarray(s[bn_name]["var"], np.float32)
+                f = scale / np.sqrt(var + BN_EPS)
+                out[name] = {
+                    "conv": {
+                        "kernel": kernel * f,  # HWIO: f broadcasts over O
+                        "bias": (bias - mean) * f + bn_bias,
+                    }
+                }
+            elif isinstance(value, dict):
+                out[name] = walk(value, s.get(name, {}))
+            else:
+                out[name] = value
+        return out
+
+    return {"params": walk(params, stats)}
+
+
+def fold_inference(model, variables) -> Tuple[Any, Dict[str, Any]]:
+    """(model, trained variables) -> (BN-less inference model, folded vars).
+
+    No-op (identity) if the model is already folded."""
+    if getattr(model, "fold_bn", False):
+        return model, variables
+    return model.clone(fold_bn=True), fold_batchnorm_variables(variables)

@@ -18,22 +18,48 @@ embarrassingly parallel across the batch axis and use the same helpers.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+# Env vars that indicate a multi-process launch was configured (by the user
+# or a cluster launcher).  Presence of any of these makes init failures FATAL
+# instead of silently degrading to single-host training.
+_DIST_ENV_VARS = (
+    "CAMELS_DISTRIBUTED",
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+)
+
 
 def init_distributed(**kwargs) -> int:
     """Multi-host initialization (TPU pod slices): call once per process
-    before any device use; no-op when single-process or already initialized.
-    Returns the global device count.  Afterwards ``make_mesh()`` spans the
-    whole slice (ICI within hosts, DCN across slices)."""
+    before any device use.  Returns the global device count; afterwards
+    ``make_mesh()`` spans the whole slice (ICI within hosts, DCN across
+    slices).
+
+    Explicit semantics (a misconfigured launch must NOT silently fall back
+    to single-host training):
+
+    * Not configured — no kwargs and none of ``CAMELS_DISTRIBUTED`` /
+      ``JAX_COORDINATOR_ADDRESS`` / ``COORDINATOR_ADDRESS`` set — no-op.
+    * Configured — any kwarg given (``coordinator_address`` / ``num_processes``
+      / ``process_id`` ...) or one of the env vars set — ``jax.distributed
+      .initialize`` runs and any failure RAISES.  A repeat call on an
+      already-initialized runtime is fine.
+    """
+    configured = bool(kwargs) or any(os.environ.get(v) for v in _DIST_ENV_VARS)
+    if not configured:
+        return len(jax.devices())
     try:
         jax.distributed.initialize(**kwargs)
-    except Exception:
-        pass  # single process, no coordinator configured, or already done
+    except RuntimeError as e:
+        if "already" not in str(e).lower():
+            raise
     return len(jax.devices())
 
 

@@ -22,6 +22,29 @@ import numpy as np
 from flax import serialization
 
 
+def weights_checkpoint_plan(
+    style: str, ep: int, n_epoch: int, every: int
+) -> tuple:
+    """Mode-specific weights-file cadence/naming (returns (save, filename)).
+
+    "plus1":  (ep+1) % every == 0 or last epoch; ``model_epoch_{ep+1}``
+              (code/ conditional scripts, paper.py:476-478).
+    "list25": (ep+1) % every == 0 only — NO forced last-epoch save — and the
+              reference's own off-by-one name ``model_epoch_{ep}``
+              (train_diffusion.py:154-155).
+    "mod0":   ep % every == 0 or last epoch; ``model_epoch_{ep}``
+              (initial.py:175-176, initial2/main/26thNovCode).
+    """
+    last = ep == n_epoch - 1
+    if style == "mod0":
+        return (ep % every == 0 or last), f"model_epoch_{ep}.msgpack"
+    if style == "list25":
+        return ((ep + 1) % every == 0), f"model_epoch_{ep}.msgpack"
+    if style == "plus1":
+        return ((ep + 1) % every == 0 or last), f"model_epoch_{ep + 1}.msgpack"
+    raise ValueError(f"unknown ckpt_style {style!r}")
+
+
 def save_model_weights(variables: Dict[str, Any], path: str) -> None:
     """Save inference variables ({'params', 'batch_stats'}) to msgpack."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

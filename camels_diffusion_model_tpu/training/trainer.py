@@ -71,20 +71,32 @@ def _noise_coeff(ab, scaling: str):
     return (1.0 - ab) if scaling == "reference" else jnp.sqrt(1.0 - ab)
 
 
-def make_train_step(model, timesteps: int, scaling: str = "reference"):
+from ..models.context_unet import model_rngs  # noqa: E402  (re-export)
+
+
+def make_train_step(
+    model,
+    timesteps: int,
+    scaling: str = "reference",
+    beta1: float = 1e-4,
+    beta2: float = 0.02,
+):
     """Build the jitted train step.
 
     step(state, x, c, rng) -> (state, metrics) with metrics
     {"loss", "per_sample_mse", "t"}.  ``x`` NHWC, ``c`` (B, n_cfeat).
+    ``beta1``/``beta2`` are the noise-schedule endpoints — they must match the
+    schedule used for sampling and ELBO/NLL evaluation so every phase sees one
+    diffusion process.
     """
 
     from ..diffusion.schedule import make_schedule
 
-    alpha_bar = make_schedule(timesteps).alpha_bar
+    alpha_bar = make_schedule(timesteps, beta1, beta2).alpha_bar
 
     @jax.jit
     def train_step(state: TrainState, x, c, rng):
-        tkey, nkey = jax.random.split(rng)
+        tkey, nkey, skey = jax.random.split(rng, 3)
         b = x.shape[0]
         t = jax.random.randint(tkey, (b,), 1, timesteps + 1)
         noise = jax.random.normal(nkey, x.shape, x.dtype)
@@ -100,6 +112,7 @@ def make_train_step(model, timesteps: int, scaling: str = "reference"):
                 c,
                 train=True,
                 mutable=["batch_stats"],
+                rngs=model_rngs(model, skey),
             )
             per_sample = jnp.mean(
                 jnp.square(out - noise), axis=tuple(range(1, out.ndim))
@@ -116,16 +129,26 @@ def make_train_step(model, timesteps: int, scaling: str = "reference"):
     return train_step
 
 
-def make_eval_step(model, timesteps: int, scaling: str = "reference"):
+def make_eval_step(
+    model,
+    timesteps: int,
+    scaling: str = "reference",
+    beta1: float = 1e-4,
+    beta2: float = 0.02,
+):
     """Validation MSE step (train_diffusion_paper.py:392-404): random
-    timesteps, reference q_sample, batch-mean MSE."""
+    timesteps, reference q_sample.  Returns device-resident metrics
+    {"loss" scalar, "per_sample_mse" (B,), "t" (B,)} — accumulate on device
+    and sync once per eval pass; the per-sample values feed the per-batch
+    val-ELBO form used by the elbo/spectrum_indiv modes
+    (train_diffusion_elbo.py:374-383) at no extra forward."""
     from ..diffusion.schedule import make_schedule
 
-    alpha_bar = make_schedule(timesteps).alpha_bar
+    alpha_bar = make_schedule(timesteps, beta1, beta2).alpha_bar
 
     @jax.jit
     def eval_step(params, batch_stats, x, c, rng):
-        tkey, nkey = jax.random.split(rng)
+        tkey, nkey, skey = jax.random.split(rng, 3)
         b = x.shape[0]
         t = jax.random.randint(tkey, (b,), 1, timesteps + 1)
         noise = jax.random.normal(nkey, x.shape, x.dtype)
@@ -136,7 +159,11 @@ def make_eval_step(model, timesteps: int, scaling: str = "reference"):
             x_pert,
             (t / timesteps).astype(jnp.float32),
             c,
+            rngs=model_rngs(model, skey),
         )
-        return jnp.mean(jnp.square(out - noise))
+        per_sample = jnp.mean(
+            jnp.square(out - noise), axis=tuple(range(1, out.ndim))
+        )
+        return {"loss": jnp.mean(per_sample), "per_sample_mse": per_sample, "t": t}
 
     return eval_step

@@ -203,9 +203,12 @@ def import_from_torch_state_dict(
 ):
     """Reference-format state dict -> Flax variables.
 
-    ``template_variables`` comes from ``model.init`` and provides structure
-    plus the learned-shortcut initialization (absent from reference
-    checkpoints).
+    ``template_variables`` comes from ``model.init`` and provides the tree
+    structure.  The learned init_conv shortcut has no reference counterpart
+    (the reference draws a fresh 1x1 conv every forward,
+    diffusion_utilities.py:54); it is re-seeded here with ONE fixed
+    Kaiming-uniform draw from ``PRNGKey(shortcut_seed)`` so two imports of the
+    same ``.pth`` give identical models regardless of the template's init.
     """
     import copy
 
@@ -232,6 +235,20 @@ def import_from_torch_state_dict(
                 f"{torch_name}: shape {arr.shape} != expected {want_shape}"
             )
         node[pname] = arr
+    shortcut = params.get("init_conv", {}).get("shortcut")
+    if shortcut is not None:
+        kshape = np.asarray(shortcut["kernel"]).shape  # (1, 1, I, O)
+        bound = 1.0 / float(np.sqrt(kshape[2]))
+        kkey, bkey = jax.random.split(jax.random.PRNGKey(shortcut_seed))
+        shortcut["kernel"] = np.asarray(
+            jax.random.uniform(kkey, kshape, jax.numpy.float32, -bound, bound)
+        )
+        shortcut["bias"] = np.asarray(
+            jax.random.uniform(
+                bkey, np.asarray(shortcut["bias"]).shape,
+                jax.numpy.float32, -bound, bound,
+            )
+        )
     out = {"params": params}
     if batch_stats:
         out["batch_stats"] = batch_stats

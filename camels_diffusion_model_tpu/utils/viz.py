@@ -52,49 +52,56 @@ def save_image_grid(
     plt.imsave(path, grid, cmap="gray", vmin=0.0, vmax=1.0)
 
 
+def _viridis_panel_grid(nrows: int, ncols: int, scale: float = 3.0):
+    """Axes grid for viridis map panels, all frames/ticks off."""
+    fig, axes = plt.subplots(nrows, ncols, figsize=(scale * ncols, scale * nrows))
+    axes = np.atleast_1d(axes).reshape(nrows, ncols)
+    for ax in axes.flat:
+        ax.set_axis_off()
+    return fig, axes
+
+
 def visualize_viridis_style(
     samples: np.ndarray, output_path: str, nrow: int = 5, title: str = "CAMELS"
 ) -> None:
-    """Viridis grid with rotated side title (train_diffusion_paper.py:688-728)."""
-    samples = _to_bhw(samples)
-    num_images = min(len(samples), 25)
-    num_cols = nrow
-    num_rows = (num_images + num_cols - 1) // num_cols
-    plt.figure(figsize=(num_cols * 3, num_rows * 3))
-    plt.figtext(0.05, 0.5, title, rotation=90, fontsize=16, fontweight="bold", va="center")
-    plt.subplots_adjust(left=0.1)
-    for i in range(num_images):
-        plt.subplot(num_rows, num_cols, i + 1)
-        plt.imshow(samples[i], cmap="viridis")
-        plt.axis("off")
-    plt.tight_layout(rect=[0.1, 0, 1, 1])
-    plt.savefig(output_path, dpi=150, bbox_inches="tight")
-    plt.close()
+    """Viridis-colormap sample grid with a rotated figure-side label.
+
+    Same artifact as the reference's viridis grid
+    (train_diffusion_paper.py:688-728); original layout code built on this
+    module's subplots-array idiom.
+    """
+    maps = _to_bhw(samples)[:25]
+    ncols = nrow
+    nrows = -(-len(maps) // ncols)
+    fig, axes = _viridis_panel_grid(nrows, ncols)
+    for ax, img in zip(axes.flat, maps):
+        ax.imshow(img, cmap="viridis")
+    fig.subplots_adjust(left=0.1)
+    fig.text(
+        0.05, 0.5, title, rotation="vertical", va="center",
+        fontsize=16, fontweight="bold",
+    )
+    fig.savefig(output_path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
 
 
 def visualize_reconstruction_comparison(
     original: np.ndarray, reconstructed: np.ndarray, output_path: str
 ) -> None:
-    """Side-by-side 2x5 original/reconstruction viridis figure
-    (train_diffusion_paper.py:730-770)."""
-    original = _to_bhw(original)[:5]
-    reconstructed = _to_bhw(reconstructed)[:5]
-    plt.figure(figsize=(15, 6))
-    for i in range(len(original)):
-        plt.subplot(2, 5, i + 1)
-        plt.imshow(original[i], cmap="viridis")
-        plt.axis("off")
-        if i == 2:
-            plt.title("Original Images", fontsize=16, fontweight="bold", pad=20)
-    for i in range(len(reconstructed)):
-        plt.subplot(2, 5, i + 6)
-        plt.imshow(reconstructed[i], cmap="viridis")
-        plt.axis("off")
-        if i == 2:
-            plt.title("Reconstructed Images", fontsize=16, fontweight="bold", pad=20)
-    plt.tight_layout()
-    plt.savefig(output_path, dpi=150, bbox_inches="tight")
-    plt.close()
+    """Two-row original-vs-reconstruction viridis figure with row labels over
+    the middle column (artifact parity with train_diffusion_paper.py:730-770)."""
+    rows = [
+        ("Original Images", _to_bhw(original)[:5]),
+        ("Reconstructed Images", _to_bhw(reconstructed)[:5]),
+    ]
+    fig, axes = _viridis_panel_grid(2, 5)
+    for r, (label, maps) in enumerate(rows):
+        for ax, img in zip(axes[r], maps):
+            ax.imshow(img, cmap="viridis")
+        axes[r, 2].set_title(label, fontsize=16, fontweight="bold", pad=20)
+    fig.tight_layout()
+    fig.savefig(output_path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
 
 
 def plot_training_metrics(
@@ -109,8 +116,13 @@ def plot_training_metrics(
     bpd_log: Sequence[float],
     val_bpd_log: Sequence[float],
     eval_every: int = 5,
+    elbo_per_epoch: bool = False,
 ) -> None:
-    """4-panel loss/NLL/ELBO/BPD figure (train_diffusion_paper.py:495-546)."""
+    """4-panel loss/NLL/ELBO/BPD figure (train_diffusion_paper.py:495-546).
+
+    ``elbo_per_epoch``: the elbo/spectrum_indiv modes log training ELBO/BPD
+    every epoch (continuous curves over 1..n_epoch,
+    train_diffusion_elbo.py:466-483); paper modes only at eval points."""
     plt.figure(figsize=(15, 10))
     eval_epochs = list(range(0, n_epoch, eval_every))
     if (n_epoch - 1) % eval_every != 0:
@@ -152,7 +164,10 @@ def plot_training_metrics(
 
     plt.subplot(2, 2, 3)
     if elbo_log:
-        xs, ys = _trim(eval_x, elbo_log)
+        if elbo_per_epoch:
+            xs, ys = range(1, len(elbo_log) + 1), elbo_log
+        else:
+            xs, ys = _trim(eval_x, elbo_log)
         plt.plot(xs, ys, color="orange", label="Training ELBO", linewidth=2)
     if val_elbo_log:
         xs, ys = _trim(eval_x, val_elbo_log)
@@ -166,7 +181,10 @@ def plot_training_metrics(
 
     plt.subplot(2, 2, 4)
     if bpd_log:
-        xs, ys = _trim(eval_x, bpd_log)
+        if elbo_per_epoch:
+            xs, ys = range(1, len(bpd_log) + 1), bpd_log
+        else:
+            xs, ys = _trim(eval_x, bpd_log)
         plt.plot(xs, ys, color="orange", label="Training BPD", linewidth=2)
     if val_bpd_log:
         xs, ys = _trim(eval_x, val_bpd_log)

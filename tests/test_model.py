@@ -140,3 +140,60 @@ def test_stochastic_shortcut_mode():
     same = model.apply(variables, x, t, c, rngs={"shortcut": jax.random.PRNGKey(2)})
     assert not np.allclose(np.asarray(a), np.asarray(b))
     np.testing.assert_allclose(np.asarray(a), np.asarray(same), atol=1e-6)
+
+
+def test_fold_bn_matches_unfolded(tiny_model_and_vars):
+    """BatchNorm folding (models/fold_bn.py) is bit-level-faithful fp32 math:
+    the folded inference model reproduces the unfolded train=False forward."""
+    import jax
+    from camels_diffusion_model_tpu.models.fold_bn import fold_inference
+
+    model, variables = tiny_model_and_vars
+    # Make the running stats non-trivial first (a few train-mode steps).
+    rs = np.random.RandomState(0)
+    x = rs.randn(4, 16, 16, 1).astype(np.float32)
+    t = np.array([0.5], np.float32)
+    c = rs.rand(4, 3).astype(np.float32)
+    vars_mut = variables
+    for _ in range(3):
+        _, mutated = model.apply(
+            vars_mut, x + rs.randn(*x.shape).astype(np.float32), t, c,
+            train=True, mutable=["batch_stats"],
+        )
+        vars_mut = {"params": vars_mut["params"], "batch_stats": mutated["batch_stats"]}
+
+    want = model.apply(vars_mut, x, t, c)
+    inf_model, inf_vars = fold_inference(model, vars_mut)
+    assert inf_model.fold_bn and "batch_stats" not in inf_vars
+    got = inf_model.apply(inf_vars, x, t, c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+    # init structure of the folded model matches the folded params tree
+    ref_struct = jax.tree_util.tree_structure(
+        inf_model.init(jax.random.PRNGKey(0), x[:1], t)
+    )
+    assert jax.tree_util.tree_structure(inf_vars) == ref_struct
+    # idempotent
+    again_model, again_vars = fold_inference(inf_model, inf_vars)
+    assert again_model is inf_model and again_vars is inf_vars
+
+
+def test_decode_with_precomputed_film_matches_inline(tiny_model_and_vars):
+    """decode(film=...) with tables from time_embed/context_embed equals the
+    inline-embedding decode — the sampler hot path's correctness contract."""
+    import jax.numpy as jnp
+
+    model, variables = tiny_model_and_vars
+    rs = np.random.RandomState(1)
+    x = rs.randn(3, 16, 16, 1).astype(np.float32)
+    t = np.array([0.4], np.float32)
+    c = rs.rand(3, 3).astype(np.float32)
+    enc = model.apply(variables, x, method="encode")
+    want = model.apply(variables, enc, t, c, method="decode")
+    cemb1, cemb2 = model.apply(variables, jnp.asarray(c), method="context_embed")
+    temb1, temb2 = model.apply(
+        variables, jnp.asarray(t).reshape(-1, 1), method="time_embed"
+    )
+    got = model.apply(
+        variables, enc, film=(cemb1, temb1, cemb2, temb2), method="decode"
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)

@@ -82,3 +82,42 @@ def test_fused_groupnorm_act_matches_flax(act):
     elif act == "leaky_relu":
         want = np.where(want > 0, want, 0.2 * want)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_groupnormact_module_pallas_matches_xla():
+    """The decoder's GroupNormAct module: Pallas path (interpret mode on CPU)
+    == XLA path, with identical parameter structure to nn.GroupNorm."""
+    import jax
+    from camels_diffusion_model_tpu.models.blocks import GroupNormAct
+
+    rs = np.random.RandomState(0)
+    x = rs.randn(2, 8, 8, 16).astype(np.float32)
+    for act in ("relu", "gelu", "leaky_relu"):
+        xla_mod = GroupNormAct(num_groups=8, act=act, use_pallas=False)
+        v = xla_mod.init(jax.random.PRNGKey(0), x)
+        v = {"params": {"scale": np.asarray(rs.rand(16), np.float32) + 0.5,
+                        "bias": np.asarray(rs.randn(16), np.float32)}}
+        want = xla_mod.apply(v, x)
+        # interpret-mode Pallas (no TPU needed)
+        from camels_diffusion_model_tpu.ops.pallas.groupnorm import (
+            fused_groupnorm_act,
+        )
+        got = fused_groupnorm_act(
+            jnp.asarray(x), jnp.asarray(v["params"]["scale"]),
+            jnp.asarray(v["params"]["bias"]), num_groups=8, act=act,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_groupnormact_params_match_nn_groupnorm():
+    import jax
+    from flax import linen as nn
+    from camels_diffusion_model_tpu.models.blocks import GroupNormAct
+
+    x = np.random.RandomState(0).randn(1, 4, 4, 16).astype(np.float32)
+    a = GroupNormAct(num_groups=8).init(jax.random.PRNGKey(0), x)
+    b = nn.GroupNorm(num_groups=8).init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(a) == jax.tree_util.tree_structure(b)

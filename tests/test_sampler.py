@@ -158,3 +158,33 @@ def test_save_schedule_other_rates():
         want = (steps % rate == 0) | (steps == T) | (steps < 8)
         np.testing.assert_array_equal(mask, want)
         assert n == want.sum()
+
+
+def test_sampler_folded_model_matches_unfolded(tiny_model_and_vars):
+    """End-to-end: BN-folded inference model + precomputed-FiLM hot path give
+    the same trajectories as the unfolded model (fp32)."""
+    from camels_diffusion_model_tpu.models.fold_bn import fold_inference
+
+    model, variables = tiny_model_and_vars
+    sched = make_schedule(10)
+    params = np.random.RandomState(3).rand(2, 3).astype(np.float32)
+    base = sample_ddpm(model, variables, sched, jax.random.PRNGKey(0),
+                       n_sample=2, size=16, params=params, guide_w=2.0)
+    inf_model, inf_vars = fold_inference(model, variables)
+    fold = sample_ddpm(inf_model, inf_vars, sched, jax.random.PRNGKey(0),
+                       n_sample=2, size=16, params=params, guide_w=2.0)
+    np.testing.assert_allclose(
+        np.asarray(fold.x), np.asarray(base.x), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_per_chunk_timing_is_real(tiny_model_and_vars):
+    """timestep_times come from per-chunk wall-clock measurements and sum to
+    (approximately) the total sampling time."""
+    model, variables = tiny_model_and_vars
+    sched = make_schedule(12)
+    out = sample_ddpm(model, variables, sched, jax.random.PRNGKey(0),
+                      n_sample=1, size=16)
+    assert out.timestep_times.shape == (12,)
+    assert np.all(out.timestep_times > 0)
+    assert np.sum(out.timestep_times) <= out.sampling_time + 1e-6

@@ -78,8 +78,10 @@ def test_eval_step_runs(setup):
     eval_step = make_eval_step(model, timesteps)
     x = np.random.RandomState(0).rand(4, height, height, 1).astype(np.float32)
     c = np.random.RandomState(1).rand(4, 3).astype(np.float32)
-    loss = float(eval_step(state.params, state.batch_stats, x, c, jax.random.PRNGKey(0)))
-    assert np.isfinite(loss)
+    m = eval_step(state.params, state.batch_stats, x, c, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+    assert m["per_sample_mse"].shape == (4,)
+    assert np.isclose(float(m["loss"]), float(np.mean(m["per_sample_mse"])))
 
 
 def test_weights_roundtrip(setup, tmp_path):
@@ -121,3 +123,29 @@ def test_train_checkpoint_resume(setup, tmp_path):
         jax.tree_util.tree_leaves(restored.opt_state),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_weights_checkpoint_plan():
+    """Mode-specific weights cadence/naming (paper.py:476-478,
+    train_diffusion.py:154-155, initial.py:175-176)."""
+    from camels_diffusion_model_tpu.training.checkpoints import (
+        weights_checkpoint_plan,
+    )
+
+    # plus1 (code/ conditional scripts): every 25 by (ep+1), + last epoch
+    assert weights_checkpoint_plan("plus1", 24, 100, 25) == (
+        True, "model_epoch_25.msgpack")
+    assert weights_checkpoint_plan("plus1", 25, 100, 25)[0] is False
+    assert weights_checkpoint_plan("plus1", 9, 10, 25) == (
+        True, "model_epoch_10.msgpack")
+    # list25 (train_diffusion.py): name uses ep (the reference's off-by-one),
+    # and NO forced last-epoch save
+    assert weights_checkpoint_plan("list25", 24, 100, 25) == (
+        True, "model_epoch_24.msgpack")
+    assert weights_checkpoint_plan("list25", 9, 10, 25)[0] is False
+    # mod0 (initial.py & co): ep % 4 == 0 or last, name ep
+    assert weights_checkpoint_plan("mod0", 0, 10, 4) == (
+        True, "model_epoch_0.msgpack")
+    assert weights_checkpoint_plan("mod0", 9, 10, 4) == (
+        True, "model_epoch_9.msgpack")
+    assert weights_checkpoint_plan("mod0", 3, 10, 4)[0] is False
