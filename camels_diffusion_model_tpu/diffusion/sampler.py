@@ -63,7 +63,11 @@ class SamplerOutput(NamedTuple):
     x: jax.Array  # final samples, (B, H, W, C)
     intermediate: jax.Array  # saved states, (n_saves, B, H, W, C)
     sampling_time: float  # wall-clock seconds (host-measured)
-    timestep_times: np.ndarray  # per-step seconds, measured per device chunk
+    # Per-step seconds, measured per device chunk (the reference reports
+    # measured per-step wall times, train_diffusion_paper.py:613-621).
+    # Empty (shape (0,)) when the caller opted out via measure_timing=False —
+    # the serving fast path, which skips the per-chunk host barrier.
+    timestep_times: np.ndarray
 
 
 def _save_schedule(timesteps: int, save_rate: int) -> tuple[np.ndarray, np.ndarray, int]:
@@ -239,6 +243,7 @@ def sample_ddpm(
     x_init: Optional[jax.Array] = None,
     dtype=jnp.float32,
     mesh=None,
+    measure_timing: bool = True,
 ) -> SamplerOutput:
     """Generate samples by ancestral DDPM sampling from pure noise.
 
@@ -247,6 +252,12 @@ def sample_ddpm(
 
     ``mesh``: optional ``jax.sharding.Mesh`` — the batch axis is sharded
     across its data axis (embarrassingly parallel sampling sweeps over ICI).
+
+    ``measure_timing=False`` (serving fast path) skips the per-chunk host
+    barrier: all device chunks dispatch back-to-back (the donated carries
+    chain on-device) and the host syncs once at the end.  Saves one host
+    round-trip per chunk — material over tunneled/remote TPU runtimes —
+    at the cost of ``timestep_times`` coming back empty.
     """
     rng, xkey, pkey = jax.random.split(rng, 3)
     if x_init is None:
@@ -257,7 +268,7 @@ def sample_ddpm(
         params = jax.random.uniform(pkey, (n_sample, model.n_cfeat), jnp.float32)
     return _run(
         model, variables, schedule, rng, x_init, params, guide_w, save_rate,
-        mesh=mesh,
+        mesh=mesh, measure_timing=measure_timing,
     )
 
 
@@ -271,6 +282,7 @@ def sample_ddpm_from_noise(
     guide_w: float = 0.0,
     save_rate: int = 20,
     mesh=None,
+    measure_timing: bool = True,
 ) -> SamplerOutput:
     """Reverse diffusion seeded with forward-diffused real images
     (train_diffusion_paper.py:625-686).  ``params=None`` means zero context."""
@@ -281,7 +293,7 @@ def sample_ddpm_from_noise(
         guide_w = 0.0
     return _run(
         model, variables, schedule, rng, noise_images, params, guide_w,
-        save_rate, mesh=mesh,
+        save_rate, mesh=mesh, measure_timing=measure_timing,
     )
 
 
@@ -311,6 +323,7 @@ def _run(
     save_rate,
     steps_per_call: Optional[int] = None,
     mesh=None,
+    measure_timing: bool = True,
 ):
     timesteps = schedule.timesteps
     mask, slots, n_saves = _save_schedule(timesteps, save_rate)
@@ -417,12 +430,19 @@ def _run(
         )
         # Real per-chunk timing (the reference reports measured per-step wall
         # times, train_diffusion_paper.py:613-621; here each device chunk is
-        # timed and its steps share the chunk average).
-        barrier(x)
-        now = time.time()
-        per_step[start : start + size] = (now - chunk_t0) / size
-        chunk_t0 = now
+        # timed and its steps share the chunk average).  The serving fast
+        # path (measure_timing=False) skips the per-chunk host round-trip:
+        # chained donated carries keep the device busy back-to-back and the
+        # single barrier below covers the whole run.
+        if measure_timing:
+            barrier(x)
+            now = time.time()
+            per_step[start : start + size] = (now - chunk_t0) / size
+            chunk_t0 = now
         start += size
+    if not measure_timing:
+        barrier(x)
+        per_step = per_step[:0]
     total = time.time() - t0
     x = x[:n_real]
     intermediate = buf[:n_saves, :n_real]

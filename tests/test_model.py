@@ -175,6 +175,11 @@ def test_fold_bn_matches_unfolded(tiny_model_and_vars):
     # idempotent
     again_model, again_vars = fold_inference(inf_model, inf_vars)
     assert again_model is inf_model and again_vars is inf_vars
+    # every folded leaf must be a committed device array — numpy leaves get
+    # re-transferred host->device on every jitted call, which made the folded
+    # sampler 100x slower over the tunneled TPU runtime (regression guard)
+    for leaf in jax.tree_util.tree_leaves(inf_vars):
+        assert isinstance(leaf, jax.Array), type(leaf)
 
 
 def test_decode_with_precomputed_film_matches_inline(tiny_model_and_vars):

@@ -48,6 +48,26 @@ def test_sampler_shapes_and_determinism(tiny_model_and_vars):
     )
 
 
+def test_sampler_no_timing_fast_path_matches(tiny_model_and_vars):
+    """measure_timing=False (serving fast path, no per-chunk host barrier)
+    returns bit-identical samples and an empty timestep_times array."""
+    model, variables = tiny_model_and_vars
+    sched = make_schedule(12)
+    rng = jax.random.PRNGKey(42)
+    params = np.random.RandomState(0).rand(2, 3).astype(np.float32)
+    timed = sample_ddpm(
+        model, variables, sched, rng, n_sample=2, size=16, params=params
+    )
+    fast = sample_ddpm(
+        model, variables, sched, rng, n_sample=2, size=16, params=params,
+        measure_timing=False,
+    )
+    np.testing.assert_allclose(np.asarray(timed.x), np.asarray(fast.x))
+    assert timed.timestep_times.shape == (12,)
+    assert np.all(timed.timestep_times > 0)
+    assert fast.timestep_times.shape == (0,)
+
+
 def test_cfg_fused_equals_two_forwards(tiny_model_and_vars):
     model, variables = tiny_model_and_vars
     x = np.random.RandomState(0).randn(2, 16, 16, 1).astype(np.float32)
