@@ -50,7 +50,7 @@ def bench_train():
         np.array([0.5], np.float32),
     )
     state = create_train_state(model, variables, 1e-5, 100, 422)
-    step = make_train_step(model, 1500)
+    step = make_train_step(model, 1500, donate=True)
     x = np.random.RandomState(0).rand(batch, 64, 64, 1).astype(np.float32)
     c = np.random.RandomState(1).rand(batch, 6).astype(np.float32)
     key = jax.random.PRNGKey(0)

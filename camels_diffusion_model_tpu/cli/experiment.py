@@ -212,6 +212,9 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
     train_step = make_train_step(
         model, cfg.timesteps, scaling=spec.q_scaling,
         beta1=cfg.beta1, beta2=cfg.beta2,
+        # In-place state update on device (params + Adam moments + BN stats);
+        # the init-time `variables` alias is never used after state creation.
+        donate=True,
     )
     eval_step = make_eval_step(
         model, cfg.timesteps, scaling=spec.q_scaling,

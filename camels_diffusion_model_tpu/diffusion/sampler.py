@@ -348,7 +348,10 @@ def _run(
     first = timesteps - (n_chunks - 1) * chunk
 
     t0 = time.time()
-    x = jnp.asarray(x_init)
+    # Copy, don't alias: the scan chunks donate their carry buffers, and a
+    # no-copy asarray of a caller-provided device x_init would silently
+    # DELETE the caller's array on the first chunk call (jnp.array copies).
+    x = jnp.array(x_init)
     params = jnp.asarray(params)
     if mesh is not None:
         # Shard the batch over the mesh's data axis (pad to an even shard).

@@ -18,6 +18,7 @@ extra forward pass.
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
@@ -80,6 +81,7 @@ def make_train_step(
     scaling: str = "reference",
     beta1: float = 1e-4,
     beta2: float = 0.02,
+    donate: bool = False,
 ):
     """Build the jitted train step.
 
@@ -88,13 +90,21 @@ def make_train_step(
     ``beta1``/``beta2`` are the noise-schedule endpoints — they must match the
     schedule used for sampling and ELBO/NLL evaluation so every phase sees one
     diffusion process.
+
+    ``donate=True`` donates the incoming TrainState's buffers (params, Adam
+    moments, batch stats — ~3x the model size) so the update happens in place
+    instead of allocating a fresh copy every step.  The production epoch
+    loops enable it; it is opt-in because the FIRST donated call also deletes
+    any caller-held aliases of the initial variables (the arrays passed to
+    ``create_train_state``) — a surprising default for library users who
+    re-step from a kept state.
     """
 
     from ..diffusion.schedule import make_schedule
 
     alpha_bar = make_schedule(timesteps, beta1, beta2).alpha_bar
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, x, c, rng):
         tkey, nkey, skey = jax.random.split(rng, 3)
         b = x.shape[0]

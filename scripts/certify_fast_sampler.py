@@ -44,6 +44,16 @@ def main():
                     default=[50, 100, 250, 500, 750])
     ap.add_argument("--param-sets", type=int, default=500)
     ap.add_argument("--guide-w", type=float, default=2.0)
+    # The certified configuration trains with the STANDARD q_sample scaling
+    # (sqrt(1-ab), the reference's own main.py:156): the non-standard
+    # (1-ab) scaling used by the reference's code/ trainers leaves a noise
+    # floor that the ancestral sampler keeps re-injecting but DDIM (eta=0)
+    # does not, so the two samplers' spectra diverge ~70% regardless of step
+    # count (measured) — certification is only meaningful on a recipe where
+    # the 1500-step reference output is itself clean (ARCHITECTURE.md,
+    # "Statistical quality validation").
+    ap.add_argument("--scaling", choices=["standard", "reference"],
+                    default="standard")
     args = ap.parse_args()
     os.makedirs(args.outdir, exist_ok=True)
 
@@ -105,7 +115,7 @@ def main():
         print(f"resumed from epoch {start_epoch}", flush=True)
 
     if not args.skip_train and start_epoch < args.epochs:
-        step = make_train_step(model, T)
+        step = make_train_step(model, T, scaling=args.scaling, donate=True)
         rng_np = np.random.default_rng(3)
         for ep in range(start_epoch, args.epochs):
             t0 = time.time()
@@ -245,6 +255,7 @@ def main():
     ]
     result = {
         "timesteps": T,
+        "scaling": args.scaling,
         "guide_w": args.guide_w,
         "n_eval_maps": n_eval,
         "bench_batch": args.bench_batch,

@@ -68,6 +68,29 @@ def test_sampler_no_timing_fast_path_matches(tiny_model_and_vars):
     assert fast.timestep_times.shape == (0,)
 
 
+def test_sampler_does_not_delete_caller_x_init(tiny_model_and_vars):
+    """The scan chunks donate their carries; a caller-provided device x_init
+    must be copied, not aliased — regression for sample_ddpm deleting the
+    caller's array (surfaced by the certification script, which reuses one
+    x_init across every sampler config)."""
+    model, variables = tiny_model_and_vars
+    sched = make_schedule(6)
+    params = np.random.RandomState(0).rand(2, 3).astype(np.float32)
+    x_init = jnp.asarray(
+        np.random.RandomState(1).randn(2, 16, 16, 1).astype(np.float32)
+    )
+    out1 = sample_ddpm(
+        model, variables, sched, jax.random.PRNGKey(0), n_sample=2, size=16,
+        params=params, x_init=x_init,
+    )
+    # x_init must still be alive and reusable for a second run
+    out2 = sample_ddpm(
+        model, variables, sched, jax.random.PRNGKey(0), n_sample=2, size=16,
+        params=params, x_init=x_init,
+    )
+    np.testing.assert_allclose(np.asarray(out1.x), np.asarray(out2.x))
+
+
 def test_cfg_fused_equals_two_forwards(tiny_model_and_vars):
     model, variables = tiny_model_and_vars
     x = np.random.RandomState(0).randn(2, 16, 16, 1).astype(np.float32)
