@@ -83,8 +83,14 @@ def sample_ddim(
     eta: float = 0.0,
     x_init: Optional[jax.Array] = None,
     dtype=jnp.float32,
+    mesh=None,
 ) -> SamplerOutput:
-    """Fast strided sampling.  ``eta=0`` is fully deterministic given x_init."""
+    """Fast strided sampling.  ``eta=0`` is fully deterministic given x_init.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — the batch axis is sharded over
+    the mesh's data axis (embarrassingly parallel serving sweeps over ICI,
+    same semantics as ``sample_ddpm``; the batch is padded to an even shard).
+    """
     rng, xkey, pkey = jax.random.split(rng, 3)
     if x_init is None:
         x_init = jax.random.normal(
@@ -96,7 +102,34 @@ def sample_ddim(
     taus_prev = np.concatenate([taus[1:], np.zeros(1, np.int32)])
     w_arr = np.asarray(guide_w, np.float64)
     use_cfg = bool(np.any(w_arr > 0.0))
+    n_real = int(np.shape(x_init)[0])
+    if w_arr.ndim > 0 and w_arr.shape[0] != n_real:
+        raise ValueError(
+            f"per-sample guide_w length {w_arr.shape[0]} must match the "
+            f"batch size {n_real}"
+        )
+    x = jnp.asarray(x_init)
     params = jnp.asarray(params)
+    w = jnp.asarray(guide_w, jnp.float32)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = mesh.devices.size
+        pad = (-n_real) % n_dev
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+            params = jnp.concatenate(
+                [params, jnp.zeros((pad,) + params.shape[1:], params.dtype)]
+            )
+            if w.ndim > 0:
+                w = jnp.concatenate([w, jnp.ones((pad,), w.dtype)])
+        bspec = lambda ndim: NamedSharding(
+            mesh, P(mesh.axis_names[0], *([None] * (ndim - 1)))
+        )
+        x = jax.device_put(x, bspec(x.ndim))
+        params = jax.device_put(params, bspec(params.ndim))
+        if w.ndim > 0:
+            w = jax.device_put(w, NamedSharding(mesh, P(mesh.axis_names[0])))
     cemb1, cemb2, temb1_tab, temb2_tab = _film_tables(
         model, variables, params, schedule.timesteps, use_cfg
     )
@@ -106,12 +139,12 @@ def sample_ddim(
         model,
         variables,
         schedule.alpha_bar,
-        jnp.asarray(x_init),
+        x,
         cemb1,
         cemb2,
         temb1_tab,
         temb2_tab,
-        jnp.asarray(guide_w, jnp.float32),
+        w,
         rng,
         jnp.asarray(taus),
         jnp.asarray(taus_prev),
@@ -121,6 +154,7 @@ def sample_ddim(
     jax.block_until_ready(x)
     _ = float(x.reshape(-1)[0])
     total = time.time() - t0
+    x = x[:n_real]
     per_step = np.full((len(taus),), total / len(taus), np.float64)
     empty = jnp.zeros((0,) + x.shape, x.dtype)
     return SamplerOutput(

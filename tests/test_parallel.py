@@ -114,6 +114,38 @@ def test_mesh_sharded_sampling_pads_uneven_batch(tiny_model_and_vars):
     assert np.all(np.isfinite(np.asarray(out.x)))
 
 
+def test_mesh_sharded_ddim_matches_single_device(tiny_model_and_vars):
+    """The DDIM serving sampler shards its batch over the mesh like
+    sample_ddpm (eta=0 is deterministic given x_init, so single-device and
+    sharded outputs must agree; uneven batches pad to an even shard)."""
+    from camels_diffusion_model_tpu import make_schedule
+    from camels_diffusion_model_tpu.diffusion.ddim import sample_ddim
+
+    model, variables = tiny_model_and_vars
+    sched = make_schedule(12)
+    params = np.random.RandomState(0).rand(8, 3).astype(np.float32)
+    x_init = np.random.RandomState(1).randn(8, 16, 16, 1).astype(np.float32)
+    single = sample_ddim(
+        model, variables, sched, jax.random.PRNGKey(0), n_sample=8, size=16,
+        params=params, n_steps=4, guide_w=2.0, x_init=x_init,
+    )
+    mesh = make_mesh(8)
+    sharded = sample_ddim(
+        model, variables, sched, jax.random.PRNGKey(0), n_sample=8, size=16,
+        params=params, n_steps=4, guide_w=2.0, x_init=x_init, mesh=mesh,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.x), np.asarray(single.x), atol=1e-4
+    )
+    # uneven batch pads, returns the real rows
+    uneven = sample_ddim(
+        model, variables, sched, jax.random.PRNGKey(0), n_sample=5, size=16,
+        params=params[:5], n_steps=4, x_init=x_init[:5], mesh=mesh,
+    )
+    assert uneven.x.shape[0] == 5
+    assert np.all(np.isfinite(np.asarray(uneven.x)))
+
+
 def test_graft_entry_single():
     import sys, os
 
