@@ -36,6 +36,25 @@ def ddim_timesteps(timesteps: int, n_steps: int) -> np.ndarray:
     return taus.astype(np.int32)
 
 
+def hybrid_timesteps(timesteps: int, t_exact: int, stride: int) -> np.ndarray:
+    """Hybrid schedule: coarse stride for t > t_exact, EVERY step for
+    t <= t_exact.
+
+    Discretization error of reduced-step sampling is concentrated at small t
+    (high SNR), where the map's high-k structure crystallizes — large jumps
+    there leave a spectral mismatch, while the large-t dynamics are smooth
+    and tolerate big strides.  With eta=1 this is a hybrid strided/full
+    ancestral sampler: it stays in the same SDE family as the reference's
+    1500-step loop and is per-step EXACT over the final t_exact steps.
+    Cost: t_exact + ceil((T - t_exact)/stride) model evaluations per map.
+    """
+    if not 0 < t_exact <= timesteps:
+        raise ValueError(f"t_exact must be in (0, {timesteps}]")
+    coarse = np.arange(t_exact + stride, timesteps + 1, stride, dtype=np.int64)
+    taus = np.concatenate([np.arange(1, t_exact + 1), coarse, [timesteps]])
+    return np.unique(taus).astype(np.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("model", "use_cfg"))
 def _ddim_scan(
     model, variables, alpha_bar, x, cemb1, cemb2, temb1_tab, temb2_tab,
@@ -84,12 +103,16 @@ def sample_ddim(
     x_init: Optional[jax.Array] = None,
     dtype=jnp.float32,
     mesh=None,
+    taus: Optional[np.ndarray] = None,
 ) -> SamplerOutput:
     """Fast strided sampling.  ``eta=0`` is fully deterministic given x_init.
 
     ``mesh``: optional ``jax.sharding.Mesh`` — the batch axis is sharded over
     the mesh's data axis (embarrassingly parallel serving sweeps over ICI,
     same semantics as ``sample_ddpm``; the batch is padded to an even shard).
+
+    ``taus``: optional explicit increasing timestep subsequence in [1, T]
+    (e.g. :func:`hybrid_timesteps`); overrides ``n_steps``.
     """
     rng, xkey, pkey = jax.random.split(rng, 3)
     if x_init is None:
@@ -98,7 +121,18 @@ def sample_ddim(
         )
     if params is None:
         params = jax.random.uniform(pkey, (n_sample, model.n_cfeat), jnp.float32)
-    taus = ddim_timesteps(schedule.timesteps, n_steps)[::-1].copy()  # T..1
+    if taus is None:
+        taus = ddim_timesteps(schedule.timesteps, n_steps)
+    else:
+        taus = np.asarray(taus, np.int32)
+        if taus.ndim != 1 or len(taus) < 2 or np.any(np.diff(taus) <= 0) or (
+            taus[0] < 1 or taus[-1] > schedule.timesteps
+        ):
+            raise ValueError(
+                "taus must be a strictly increasing subsequence of "
+                f"[1, {schedule.timesteps}]"
+            )
+    taus = taus[::-1].copy()  # T..1
     taus_prev = np.concatenate([taus[1:], np.zeros(1, np.int32)])
     w_arr = np.asarray(guide_w, np.float64)
     use_cfg = bool(np.any(w_arr > 0.0))

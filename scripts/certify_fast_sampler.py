@@ -47,6 +47,14 @@ def main():
     ap.add_argument("--timesteps", type=int, default=1500)
     ap.add_argument("--ddim-steps", type=int, nargs="*",
                     default=[100, 250, 500, 600, 750])
+    # Hybrid ancestral rows (eta=1): "t_exact:stride" — every step for
+    # t <= t_exact (where reduced-step spectral error concentrates), coarse
+    # stride above.  Cost: t_exact + ceil((T-t_exact)/stride) evals/map.
+    ap.add_argument("--hybrid", nargs="*",
+                    default=["600:15", "500:12", "400:10", "300:8", "200:5"])
+    # DPM-Solver++(2M) rows (second-order ODE; converges to the DDIM eta=0
+    # limit in ~10x fewer evals — bounded below by the SDE/ODE model gap).
+    ap.add_argument("--dpm-steps", type=int, nargs="*", default=[25, 50, 100])
     ap.add_argument("--param-sets", type=int, default=500)
     ap.add_argument("--guide-w", type=float, default=2.0)
     # The certified configuration trains with the STANDARD q_sample scaling
@@ -288,6 +296,54 @@ def main():
             add_row(label, n_steps, tp, pk,
                     note=f"eta={eta:g}")
             print(f"  {tp:.1f} maps/min", flush=True)
+
+    from camels_diffusion_model_tpu.diffusion.dpm_solver import sample_dpm2m
+
+    for n_steps in args.dpm_steps:
+        label = f"DPM-Solver++(2M) {n_steps}"
+        print(f"{label}...", flush=True)
+
+        def dpm_slice(x0, pp, si, n_steps=n_steps):
+            return sample_dpm2m(
+                inf_model, inf_vars, schedule, jax.random.PRNGKey(900 + si),
+                n_sample=x0.shape[0], size=64, params=pp,
+                guide_w=args.guide_w, n_steps=n_steps, x_init=x0,
+            ).x
+
+        _, pk = gen_mean_pk(dpm_slice, label)
+        tp = throughput(lambda s, n_steps=n_steps: sample_dpm2m(
+            inf_model, inf_vars, schedule, jax.random.PRNGKey(s),
+            n_sample=args.bench_batch, size=64, params=bench_params,
+            guide_w=args.guide_w, n_steps=n_steps,
+        ))
+        add_row(label, n_steps, tp, pk, note="2nd-order ODE")
+        print(f"  {tp:.1f} maps/min", flush=True)
+
+    from camels_diffusion_model_tpu.diffusion.ddim import hybrid_timesteps
+
+    for spec in args.hybrid:
+        t_exact, stride = (int(v) for v in spec.split(":"))
+        taus_h = hybrid_timesteps(T, t_exact, stride)
+        label = (f"hybrid ancestral exact<={t_exact}, stride {stride} "
+                 f"({len(taus_h)} evals)")
+        print(f"{label}...", flush=True)
+
+        def hybrid_slice(x0, pp, si, taus_h=taus_h):
+            return sample_ddim(
+                inf_model, inf_vars, schedule,
+                jax.random.PRNGKey(500 + t_exact + si),
+                n_sample=x0.shape[0], size=64, params=pp,
+                guide_w=args.guide_w, eta=1.0, x_init=x0, taus=taus_h,
+            ).x
+
+        _, pk = gen_mean_pk(hybrid_slice, label)
+        tp = throughput(lambda s, taus_h=taus_h: sample_ddim(
+            inf_model, inf_vars, schedule, jax.random.PRNGKey(s),
+            n_sample=args.bench_batch, size=64, params=bench_params,
+            guide_w=args.guide_w, eta=1.0, taus=taus_h,
+        ))
+        add_row(label, len(taus_h), tp, pk, note=f"eta=1, {spec}")
+        print(f"  {tp:.1f} maps/min", flush=True)
 
     # ---- report -------------------------------------------------------------
     md = [

@@ -19,6 +19,48 @@ def test_ddim_timesteps_subsequence():
     np.testing.assert_array_equal(full, np.arange(1, 11))
 
 
+def test_hybrid_timesteps_structure():
+    from camels_diffusion_model_tpu.diffusion.ddim import hybrid_timesteps
+
+    taus = hybrid_timesteps(1500, 300, 8)
+    assert taus[0] == 1 and taus[-1] == 1500
+    assert np.all(np.diff(taus) > 0)
+    # every step covered up to t_exact, coarse stride above
+    np.testing.assert_array_equal(taus[:300], np.arange(1, 301))
+    assert len(taus) == 300 + int(np.ceil((1500 - 300) / 8))
+    assert np.all(np.diff(taus[300:]) >= 8) or taus[-1] == 1500
+    with pytest.raises(ValueError):
+        hybrid_timesteps(100, 0, 4)
+
+
+def test_ddim_custom_taus(tiny_model_and_vars):
+    """Explicit taus= reproduces the equivalent n_steps run and rejects
+    malformed schedules."""
+    from camels_diffusion_model_tpu.diffusion.ddim import (
+        ddim_timesteps as _dts,
+    )
+
+    model, variables = tiny_model_and_vars
+    sched = make_schedule(20)
+    params = np.random.RandomState(0).rand(2, 3).astype(np.float32)
+    x_init = np.random.RandomState(1).randn(2, 16, 16, 1).astype(np.float32)
+    a = sample_ddim(
+        model, variables, sched, jax.random.PRNGKey(0), params=params,
+        n_steps=5, eta=0.0, x_init=jnp.asarray(x_init),
+    )
+    b = sample_ddim(
+        model, variables, sched, jax.random.PRNGKey(0), params=params,
+        taus=_dts(20, 5), eta=0.0, x_init=jnp.asarray(x_init),
+    )
+    np.testing.assert_allclose(np.asarray(a.x), np.asarray(b.x), atol=1e-6)
+    for bad in ([5, 3, 1], [0, 10], [1, 25], [7]):
+        with pytest.raises(ValueError):
+            sample_ddim(
+                model, variables, sched, jax.random.PRNGKey(0),
+                params=params, taus=np.asarray(bad), x_init=jnp.asarray(x_init),
+            )
+
+
 def test_ddim_runs_and_is_deterministic_at_eta0(tiny_model_and_vars):
     model, variables = tiny_model_and_vars
     sched = make_schedule(40)
