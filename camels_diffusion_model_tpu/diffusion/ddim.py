@@ -26,7 +26,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .sampler import SamplerOutput, _film_tables, _predict_eps_film
+from .sampler import (
+    DEFAULT_STEPS_PER_CALL,
+    SamplerOutput,
+    _film_tables,
+    _predict_eps_film,
+)
 from .schedule import DDPMSchedule
 
 
@@ -55,7 +60,11 @@ def hybrid_timesteps(timesteps: int, t_exact: int, stride: int) -> np.ndarray:
     return np.unique(taus).astype(np.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("model", "use_cfg"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "use_cfg"),
+    donate_argnums=(3,),  # x — carried across chunk calls in-place
+)
 def _ddim_scan(
     model, variables, alpha_bar, x, cemb1, cemb2, temb1_tab, temb2_tab,
     guide_w, rng, taus, taus_prev, eta, *, use_cfg: bool
@@ -85,8 +94,8 @@ def _ddim_scan(
         x = jnp.sqrt(ab_prev) * x0_hat + dir_x + sigma * z
         return (x, key), None
 
-    (x, _), _ = jax.lax.scan(body, (x, rng), (taus, taus_prev))
-    return x
+    (x, key), _ = jax.lax.scan(body, (x, rng), (taus, taus_prev))
+    return x, key
 
 
 def sample_ddim(
@@ -142,7 +151,10 @@ def sample_ddim(
             f"per-sample guide_w length {w_arr.shape[0]} must match the "
             f"batch size {n_real}"
         )
-    x = jnp.asarray(x_init)
+    # Copy, don't alias: the chunked scan donates its x carry; a no-copy
+    # asarray of a caller-provided device x_init would delete the caller's
+    # array on the first chunk call.
+    x = jnp.array(x_init)
     params = jnp.asarray(params)
     w = jnp.asarray(guide_w, jnp.float32)
     if mesh is not None:
@@ -169,22 +181,35 @@ def sample_ddim(
     )
 
     t0 = time.time()
-    x = _ddim_scan(
-        model,
-        variables,
-        schedule.alpha_bar,
-        x,
-        cemb1,
-        cemb2,
-        temb1_tab,
-        temb2_tab,
-        w,
-        rng,
-        jnp.asarray(taus),
-        jnp.asarray(taus_prev),
-        jnp.float32(eta),
-        use_cfg=use_cfg,
-    )
+    # Execute in bounded chunks like sample_ddpm: long monolithic device
+    # calls (>~60 s) can fault tunneled/preemptible TPU runtimes.  Chunks
+    # dispatch back-to-back on the donated carry; one host sync at the end.
+    # First chunk takes the remainder so at most two shapes compile.
+    n_taus = len(taus)
+    chunk = min(n_taus, DEFAULT_STEPS_PER_CALL)
+    n_chunks = -(-n_taus // chunk)
+    first = n_taus - (n_chunks - 1) * chunk
+    key = rng
+    start = 0
+    for ci in range(n_chunks):
+        size = first if ci == 0 else chunk
+        x, key = _ddim_scan(
+            model,
+            variables,
+            schedule.alpha_bar,
+            x,
+            cemb1,
+            cemb2,
+            temb1_tab,
+            temb2_tab,
+            w,
+            key,
+            jnp.asarray(taus[start:start + size]),
+            jnp.asarray(taus_prev[start:start + size]),
+            jnp.float32(eta),
+            use_cfg=use_cfg,
+        )
+        start += size
     jax.block_until_ready(x)
     _ = float(x.reshape(-1)[0])
     total = time.time() - t0

@@ -92,7 +92,16 @@ def _predict_eps(
     reference loops one sampler run per strength, paper.py:1013-1019)."""
     rngs = model_rngs(model, shortcut_key)
     if not use_cfg:
-        return model.apply(variables, x, t_norm, params, rngs=rngs)
+        if not _supports_film(model):  # duck-typed eps-models: plain forward
+            return model.apply(variables, x, t_norm, params, rngs=rngs)
+        enc = model.apply(variables, x, method="encode", rngs=rngs)
+        # Materialization boundary between encoder and decoder: without it,
+        # XLA fuses the two conv stacks into mega-fusions whose scan-body
+        # schedule runs ~3x slower at single-forward shapes (measured 45.4
+        # -> 14.7 ms/step at batch 128 on v5e).  The CFG branch never hits
+        # this because its concat materializes the boundary anyway.
+        enc = jax.lax.optimization_barrier(enc)
+        return model.apply(variables, enc, t_norm, params, method="decode")
     enc = model.apply(variables, x, method="encode", rngs=rngs)
     enc2 = jax.tree_util.tree_map(
         lambda a: jnp.concatenate([a, a], axis=0), enc
@@ -124,6 +133,9 @@ def _predict_eps_film(
     enc = model.apply(variables, x, method="encode", rngs=rngs)
     film = (cembs[0], tembs[0], cembs[1], tembs[1])
     if not use_cfg:
+        # See _predict_eps: block encoder/decoder mega-fusion in the
+        # single-forward scan body (3x measured on v5e at batch 128).
+        enc = jax.lax.optimization_barrier(enc)
         return model.apply(variables, enc, film=film, method="decode")
     enc2 = jax.tree_util.tree_map(
         lambda a: jnp.concatenate([a, a], axis=0), enc
