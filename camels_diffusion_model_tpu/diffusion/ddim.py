@@ -62,12 +62,13 @@ def hybrid_timesteps(timesteps: int, t_exact: int, stride: int) -> np.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "use_cfg"),
+    static_argnames=("model", "use_cfg", "sigma_mode"),
     donate_argnums=(3,),  # x — carried across chunk calls in-place
 )
 def _ddim_scan(
     model, variables, alpha_bar, x, cemb1, cemb2, temb1_tab, temb2_tab,
-    guide_w, rng, taus, taus_prev, eta, *, use_cfg: bool
+    guide_w, rng, taus, taus_prev, eta, *, use_cfg: bool,
+    sigma_mode: str = "posterior"
 ):
     def body(carry, ts):
         x, key = carry
@@ -82,16 +83,36 @@ def _ddim_scan(
             use_cfg, guide_w, shortcut_key=skey,
         )
         eps = eps.astype(x.dtype)
-        x0_hat = (x - jnp.sqrt(1.0 - ab_t) * eps) * jax.lax.rsqrt(ab_t)
-        sigma = (
-            eta
-            * jnp.sqrt((1.0 - ab_prev) / (1.0 - ab_t))
-            * jnp.sqrt(1.0 - ab_t / ab_prev)
-        )
-        sigma = jnp.where(t_prev > 0, sigma, 0.0)
         z = jax.random.normal(zkey, x.shape, x.dtype)
-        dir_x = jnp.sqrt(jnp.maximum(1.0 - ab_prev - sigma**2, 0.0)) * eps
-        x = jnp.sqrt(ab_prev) * x0_hat + dir_x + sigma * z
+        if sigma_mode == "beta":
+            # Strided DDPM: the reference ancestral update
+            # (train_diffusion_paper.py:548-553) with the COMPOSITE alpha of
+            # the jump, A = ab_t/ab_prev (product of a over the skipped
+            # steps) and sigma^2 = 1 - A (composite beta).  At stride 1 this
+            # is bit-identical to sample_ddpm's p_sample step.  The
+            # "posterior" (beta-tilde) mode below is a DIFFERENT stochastic
+            # process for an imperfect model — the reference chain injects
+            # beta-variance noise, not posterior-variance noise, and their
+            # outputs differ by a step-count-independent P(k) gap (measured
+            # ~25-35%); certifying against the reference chain requires
+            # striding the reference's own variance choice.
+            a_jump = ab_t / ab_prev
+            mean = (
+                x - eps * (1.0 - a_jump) * jax.lax.rsqrt(1.0 - ab_t)
+            ) * jax.lax.rsqrt(a_jump)
+            sigma = jnp.sqrt(jnp.clip(1.0 - a_jump, 0.0, None))
+            sigma = jnp.where(t_prev > 0, sigma, 0.0)
+            x = mean + sigma * z
+        else:
+            x0_hat = (x - jnp.sqrt(1.0 - ab_t) * eps) * jax.lax.rsqrt(ab_t)
+            sigma = (
+                eta
+                * jnp.sqrt((1.0 - ab_prev) / (1.0 - ab_t))
+                * jnp.sqrt(1.0 - ab_t / ab_prev)
+            )
+            sigma = jnp.where(t_prev > 0, sigma, 0.0)
+            dir_x = jnp.sqrt(jnp.maximum(1.0 - ab_prev - sigma**2, 0.0)) * eps
+            x = jnp.sqrt(ab_prev) * x0_hat + dir_x + sigma * z
         return (x, key), None
 
     (x, key), _ = jax.lax.scan(body, (x, rng), (taus, taus_prev))
@@ -113,6 +134,7 @@ def sample_ddim(
     dtype=jnp.float32,
     mesh=None,
     taus: Optional[np.ndarray] = None,
+    sigma_mode: str = "posterior",
 ) -> SamplerOutput:
     """Fast strided sampling.  ``eta=0`` is fully deterministic given x_init.
 
@@ -122,7 +144,17 @@ def sample_ddim(
 
     ``taus``: optional explicit increasing timestep subsequence in [1, T]
     (e.g. :func:`hybrid_timesteps`); overrides ``n_steps``.
+
+    ``sigma_mode``: ``"posterior"`` (DDIM family: eta scales the posterior
+    beta-tilde variance; eta=0 deterministic, eta=1 the DDIM ancestral
+    variant) or ``"beta"`` (**strided DDPM**: the reference chain's update
+    with the composite alpha of each jump — at ``taus=1..T`` it is
+    bit-identical to :func:`sample_ddpm`; ``eta`` is ignored).  For an
+    imperfect model the two are different stochastic processes; use "beta"
+    when the target is matching the reference's ancestral output.
     """
+    if sigma_mode not in ("posterior", "beta"):
+        raise ValueError(f"unknown sigma_mode: {sigma_mode!r}")
     rng, xkey, pkey = jax.random.split(rng, 3)
     if x_init is None:
         x_init = jax.random.normal(
@@ -208,6 +240,7 @@ def sample_ddim(
             jnp.asarray(taus_prev[start:start + size]),
             jnp.float32(eta),
             use_cfg=use_cfg,
+            sigma_mode=sigma_mode,
         )
         start += size
     jax.block_until_ready(x)

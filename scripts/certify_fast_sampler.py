@@ -198,11 +198,11 @@ def main():
             x_init=x0, measure_timing=False,
         ).x
 
-    def ddim_slice(n_steps, eta, seed_base):
+    def ddim_slice(n_steps, eta, seed_base, sigma_mode="posterior"):
         return lambda x0, pp, si: sample_ddim(
             inf_model, inf_vars, schedule, jax.random.PRNGKey(seed_base + si),
             n_sample=x0.shape[0], size=64, params=pp, guide_w=args.guide_w,
-            n_steps=n_steps, eta=eta, x_init=x0,
+            n_steps=n_steps, eta=eta, x_init=x0, sigma_mode=sigma_mode,
         ).x
 
     print(f"reference: DDPM {T}-step CFG w={args.guide_w}, "
@@ -281,20 +281,32 @@ def main():
         note="estimator noise floor",
     )
 
+    # "strided DDPM" = the reference chain's own (beta-variance) update with
+    # composite-alpha jumps — the only family that converges to the
+    # reference's 1500-step output as steps grow.  The eta=1 "posterior"
+    # (beta-tilde) DDIM variant is a DIFFERENT stochastic process for an
+    # imperfect model: measured, its P(k) gap vs the reference chain
+    # plateaus ~25-35% regardless of step count, so it is reported for the
+    # record but cannot certify.
+    families = (
+        ("strided DDPM", 1.0, "beta"),
+        ("DDIM", 0.0, "posterior"),
+    )
     for n_steps in args.ddim_steps:
-        for eta, family in ((1.0, "strided ancestral"), (0.0, "DDIM")):
+        for family, eta, smode in families:
             label = f"{family} {n_steps}"
             print(f"{label}...", flush=True)
             _, pk = gen_mean_pk(
-                ddim_slice(n_steps, eta, 300 + n_steps), label
+                ddim_slice(n_steps, eta, 300 + n_steps, smode), label
             )
             tp = throughput(lambda s: sample_ddim(
                 inf_model, inf_vars, schedule, jax.random.PRNGKey(s),
                 n_sample=args.bench_batch, size=64, params=bench_params,
                 guide_w=args.guide_w, n_steps=n_steps, eta=eta,
+                sigma_mode=smode,
             ))
             add_row(label, n_steps, tp, pk,
-                    note=f"eta={eta:g}")
+                    note=f"eta={eta:g}, sigma={smode}")
             print(f"  {tp:.1f} maps/min", flush=True)
 
     from camels_diffusion_model_tpu.diffusion.dpm_solver import sample_dpm2m
@@ -333,14 +345,15 @@ def main():
                 inf_model, inf_vars, schedule,
                 jax.random.PRNGKey(500 + t_exact + si),
                 n_sample=x0.shape[0], size=64, params=pp,
-                guide_w=args.guide_w, eta=1.0, x_init=x0, taus=taus_h,
+                guide_w=args.guide_w, x_init=x0, taus=taus_h,
+                sigma_mode="beta",
             ).x
 
         _, pk = gen_mean_pk(hybrid_slice, label)
         tp = throughput(lambda s, taus_h=taus_h: sample_ddim(
             inf_model, inf_vars, schedule, jax.random.PRNGKey(s),
             n_sample=args.bench_batch, size=64, params=bench_params,
-            guide_w=args.guide_w, eta=1.0, taus=taus_h,
+            guide_w=args.guide_w, taus=taus_h, sigma_mode="beta",
         ))
         add_row(label, len(taus_h), tp, pk, note=f"eta=1, {spec}")
         print(f"  {tp:.1f} maps/min", flush=True)

@@ -61,6 +61,39 @@ def test_ddim_custom_taus(tiny_model_and_vars):
             )
 
 
+def test_strided_ddpm_full_taus_equals_sample_ddpm(tiny_model_and_vars):
+    """sigma_mode="beta" with taus=1..T is the reference ancestral chain: it
+    must reproduce sample_ddpm under the same key (same z stream and key
+    chain).  At stride 1 the composite alpha ab_t/ab_{t-1} equals a_t only to
+    fp32 rounding (~1e-7 relative), which the chained UNet amplifies — so the
+    tolerance is loose-but-tiny rather than bitwise; the per-step math is
+    identical by construction."""
+    from camels_diffusion_model_tpu import sample_ddpm
+
+    model, variables = tiny_model_and_vars
+    T = 12
+    sched = make_schedule(T)
+    params = np.random.RandomState(0).rand(2, 3).astype(np.float32)
+    x_init = np.random.RandomState(1).randn(2, 16, 16, 1).astype(np.float32)
+    want = sample_ddpm(
+        model, variables, sched, jax.random.PRNGKey(5), n_sample=2, size=16,
+        params=params, guide_w=2.0, x_init=jnp.asarray(x_init),
+    )
+    got = sample_ddim(
+        model, variables, sched, jax.random.PRNGKey(5), params=params,
+        guide_w=2.0, x_init=jnp.asarray(x_init),
+        taus=np.arange(1, T + 1), sigma_mode="beta",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(want.x), atol=0.02
+    )
+    with pytest.raises(ValueError):
+        sample_ddim(
+            model, variables, sched, jax.random.PRNGKey(5), params=params,
+            x_init=jnp.asarray(x_init), sigma_mode="bogus",
+        )
+
+
 def test_ddim_runs_and_is_deterministic_at_eta0(tiny_model_and_vars):
     model, variables = tiny_model_and_vars
     sched = make_schedule(40)
