@@ -249,6 +249,8 @@ def main():
             "max_err_vs_data_pct": round(100 * e_data[0], 2),
             "mean_err_vs_data_pct": round(100 * e_data[1], 2),
             "note": note,
+            # per-bin data for post-hoc analysis (which k carries the error)
+            "pk": [float(v) for v in pk],
         })
         print(f"  {config}: max|Pk ratio-1| vs DDPM-{T}: "
               f"{100 * e_ddpm[0]:.2f}% (mean {100 * e_ddpm[1]:.2f}%)",
@@ -396,6 +398,9 @@ def main():
         "device": str(jax.devices()[0]),
         "noise_floor_max_pct": round(floor_max, 2),
         "certify_tolerance_pct": round(tol, 2),
+        "k_bins": [float(v) for v in k_bins],
+        "pk_ddpm_ref": [float(v) for v in pk_ddpm],
+        "pk_data": [float(v) for v in pk_data],
         "rows": rows,
         "certified_configs": [r["config"] for r in certified],
     }
