@@ -101,6 +101,9 @@ def main():
         bench_train()
         return
     ddim_mode = os.environ.get("BENCH_MODE") == "ddim"
+    # serving mode: the certified strided-DDPM configuration (SPEEDUP.md) —
+    # the reference chain's own update strided to BENCH_SERVING_STEPS.
+    serving_mode = os.environ.get("BENCH_MODE") == "serving"
 
     platform = jax.devices()[0].platform
     on_accel = platform != "cpu"
@@ -136,7 +139,22 @@ def main():
         np.random.RandomState(0).rand(batch, 6).astype(np.float32)
     )
 
+    serving_steps = int(os.environ.get("BENCH_SERVING_STEPS", 500))
+
     def run(seed):
+        if serving_mode:
+            return sample_ddim(
+                model,
+                variables,
+                schedule,
+                jax.random.PRNGKey(seed),
+                n_sample=batch,
+                size=64,
+                params=params,
+                guide_w=guide_w,
+                n_steps=serving_steps,
+                sigma_mode="beta",
+            )
         if ddim_mode:
             return sample_ddim(
                 model,
@@ -193,11 +211,14 @@ def main():
     maps_per_min = batch / best * 60.0
 
     baseline_maps_per_min = 33.0  # reference grid sampling, no CFG
-    metric = (
-        "ddim%d_cfg_sampling_throughput_64x64_t%d" % (ddim_steps, timesteps)
-        if ddim_mode
-        else "cfg_sampling_throughput_64x64_t%d" % timesteps
-    )
+    if serving_mode:
+        metric = "serving_strided_ddpm%d_throughput_64x64_t%d" % (
+            serving_steps, timesteps)
+    elif ddim_mode:
+        metric = "ddim%d_cfg_sampling_throughput_64x64_t%d" % (
+            ddim_steps, timesteps)
+    else:
+        metric = "cfg_sampling_throughput_64x64_t%d" % timesteps
     result = {
         "metric": metric,
         "value": round(maps_per_min, 2),
@@ -212,6 +233,9 @@ def main():
     }
     if ddim_mode:
         result["ddim_steps"] = ddim_steps
+    if serving_mode:
+        result["serving_steps"] = serving_steps
+        result["sigma_mode"] = "beta"
     print(json.dumps(result))
 
 
