@@ -101,16 +101,26 @@ def generate_comparison_plot(
 
     print(f"Generating {n_maps} HI-CDM maps...")
     sel = np.tile(selected.astype(np.float32)[:, :n_cfeat], (n_maps, 1))
-    out = sample_ddpm(
-        model,
-        variables,
-        schedule,
-        jax.random.PRNGKey(seed if seed is not None else 0),
-        n_sample=n_maps,
-        size=height,
-        params=jnp.asarray(sel),
-        guide_w=0.0,
-    )
+    # CAMELS_SERVING_STEPS=<n>: opt-in certified fast path — the strided
+    # DDPM sampler (the reference chain's update with composite-alpha jumps,
+    # SPEEDUP.md) at n steps instead of the exact timesteps-step loop.
+    # Default (unset) is the reference-exact sampler.
+    serving_steps = int(os.environ.get("CAMELS_SERVING_STEPS", "0"))
+    key = jax.random.PRNGKey(seed if seed is not None else 0)
+    if serving_steps:
+        from ..diffusion.ddim import sample_ddim
+
+        print(f"  (serving fast path: strided DDPM, {serving_steps} steps)")
+        out = sample_ddim(
+            model, variables, schedule, key, n_sample=n_maps, size=height,
+            params=jnp.asarray(sel), guide_w=0.0, n_steps=serving_steps,
+            sigma_mode="beta",
+        )
+    else:
+        out = sample_ddpm(
+            model, variables, schedule, key, n_sample=n_maps, size=height,
+            params=jnp.asarray(sel), guide_w=0.0,
+        )
     hicdm_maps = np.asarray(out.x)[..., 0]
 
     print("Calculating power spectra...")

@@ -185,3 +185,25 @@ def test_resume_from_checkpoint(tmp_path):
     res2 = run_experiment(cfg2)
     assert len(res2["epoch_times"]) == 0
     assert "means" in res2
+
+
+@pytest.mark.slow
+def test_sample_cli_serving_fast_path(tmp_path, monkeypatch):
+    """sample_power_spectra's runner honors CAMELS_SERVING_STEPS (the
+    certified strided-DDPM fast path, SPEEDUP.md) and produces the same
+    artifact contract as the exact sampler."""
+    from camels_diffusion_model_tpu.cli.sample import generate_comparison_plot
+
+    monkeypatch.setenv("CAMELS_SERVING_STEPS", "4")
+    res = generate_comparison_plot(
+        model_path=str(tmp_path / "absent.msgpack"),
+        camels_data_path=str(tmp_path / "no_maps.npy"),
+        params_path=str(tmp_path / "no_params.npy"),
+        output_dir=str(tmp_path / "out"),
+        selected_params_dict={"Omega_m": 0.3},
+        n_maps=5,  # the example-map figure plots 5 columns (reference layout)
+        timesteps=8,
+        seed=1,
+    )
+    assert os.path.exists(tmp_path / "out" / "power_spectrum_results.npy")
+    assert np.all(np.isfinite(res["hicdm_pk_mean"][np.isfinite(res["k"])][1:]))
