@@ -61,6 +61,19 @@ def test_ddim_custom_taus(tiny_model_and_vars):
             )
 
 
+def test_ddim_per_sample_w_length_validated(tiny_model_and_vars):
+    """Wrong-length per-sample guide_w raises immediately (not an opaque XLA
+    broadcast error later) — same contract as sample_ddpm."""
+    model, variables = tiny_model_and_vars
+    sched = make_schedule(10)
+    params = np.random.RandomState(0).rand(4, 3).astype(np.float32)
+    with pytest.raises(ValueError):
+        sample_ddim(
+            model, variables, sched, jax.random.PRNGKey(0), n_sample=4,
+            size=16, params=params, guide_w=np.array([1.0, 2.0]), n_steps=4,
+        )
+
+
 def test_strided_ddpm_full_taus_equals_sample_ddpm(tiny_model_and_vars):
     """sigma_mode="beta" with taus=1..T is the reference ancestral chain: it
     must reproduce sample_ddpm under the same key (same z stream and key
