@@ -37,15 +37,25 @@ import os as _os
 # scripts): a fresh `train_diffusion.py` invocation of an already-seen config
 # skips the ~3-minute cold compile.  Opt out with CAMELS_NO_COMPILE_CACHE=1;
 # tests/conftest.py points this at its own directory before importing us.
+# Set via jax.config.update (not env vars): jax latches env defaults at ITS
+# import time, so an `import jax` before this package would silently disable
+# an env-only cache setting.  config.update works regardless of import order
+# as long as nothing has been compiled yet.
 if not _os.environ.get("CAMELS_NO_COMPILE_CACHE"):
-    _os.environ.setdefault(
-        "JAX_COMPILATION_CACHE_DIR",
-        _os.path.join(
-            _os.environ.get("XDG_CACHE_HOME", _os.path.expanduser("~/.cache")),
-            "camels_diffusion_jax",
-        ),
+    import jax as _jax
+
+    _cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR") or _os.path.join(
+        _os.environ.get("XDG_CACHE_HOME", _os.path.expanduser("~/.cache")),
+        "camels_diffusion_jax",
     )
-    _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without these config names
+        _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir)
+        _os.environ.setdefault(
+            "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0"
+        )
 
 from .diffusion.schedule import (
     DDPMSchedule,

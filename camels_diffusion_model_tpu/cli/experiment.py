@@ -119,13 +119,18 @@ import functools
 
 @functools.partial(jax.jit, static_argnames=("compute_elbo",))
 def _accumulate_metrics(
-    beta, alpha_bar, loss_acc, elbo_acc, loss, per_sample_mse, t, *,
+    beta, alpha_bar, loss_acc, elbo_acc, loss, per_sample_mse, t, mask=None, *,
     compute_elbo: bool
 ):
-    """Single jitted per-step metric accumulation (device-resident)."""
+    """Single jitted per-step metric accumulation (device-resident).
+
+    ``mask`` marks real rows of a padded partial batch (ELBO averages over
+    real rows only; ``loss`` arrives already masked from the step)."""
     loss_acc = loss_acc + loss
     if compute_elbo:
-        elbo_acc = elbo_acc + elbo_per_batch(beta, alpha_bar, per_sample_mse, t)
+        elbo_acc = elbo_acc + elbo_per_batch(
+            beta, alpha_bar, per_sample_mse, t, mask
+        )
     return loss_acc, elbo_acc
 
 
@@ -234,12 +239,32 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
         n_dev = mesh.devices.size
         print(f"Data-parallel over {n_dev} devices")
 
-    def maybe_shard(bx, bc):
-        if mesh is not None and bx.shape[0] % n_dev == 0:
+    # Every train/eval batch is padded to ONE static shape (batch_size,
+    # rounded up to an even per-chip shard) so a single compiled program —
+    # with the same sharded layout and BatchNorm semantics — runs every step
+    # of every epoch; the non-divisible FINAL batch used to compile a second
+    # shape and, under a mesh, run replicated.  Pad rows wrap around real
+    # rows (sane BN batch statistics) and are masked out of loss/metrics by
+    # the train/eval steps.
+    pad_to = cfg.batch_size
+    if mesh is not None and pad_to % n_dev:
+        pad_to += (-pad_to) % n_dev
+
+    def pad_and_shard(bx, bc):
+        n = bx.shape[0]
+        mask = None
+        if n < pad_to:
+            idx = np.arange(pad_to) % n
+            bx, bc = bx[idx], bc[idx]
+            mask = (np.arange(pad_to) < n).astype(np.float32)
+        if mesh is not None:
             from ..parallel import shard_batch
 
-            return shard_batch(mesh, bx, bc)
-        return bx, bc
+            if mask is None:
+                bx, bc = shard_batch(mesh, bx, bc)
+            else:
+                bx, bc, mask = shard_batch(mesh, bx, bc, mask)
+        return bx, bc, mask
 
     start_epoch = 0
     ckpt_path = os.path.join(save_dir, "train_state.msgpack")
@@ -313,12 +338,12 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
         last_desc = 0.0
         for bx, bc in pbar:
             train_key, step_key = jax.random.split(train_key)
-            bx, bc = maybe_shard(bx, bc)
-            state, metrics = train_step(state, bx, bc, step_key)
+            bx, bc, bmask = pad_and_shard(bx, bc)
+            state, metrics = train_step(state, bx, bc, step_key, bmask)
             loss_acc, elbo_acc = _accumulate_metrics(
                 schedule.beta, schedule.alpha_bar, loss_acc, elbo_acc,
                 metrics["loss"], metrics["per_sample_mse"], metrics["t"],
-                compute_elbo=spec.per_batch_elbo,
+                bmask, compute_elbo=spec.per_batch_elbo,
             )
             n_b += 1
             now = time.time()
@@ -372,10 +397,11 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
                 ds.test_x, test_c, cfg.batch_size, shuffle=False
             ):
                 eval_key, k = jax.random.split(eval_key)
-                em = eval_step(state.params, state.batch_stats, bx, bc, k)
+                bx, bc, bmask = pad_and_shard(bx, bc)
+                em = eval_step(state.params, state.batch_stats, bx, bc, k, bmask)
                 vloss_acc, velbo_acc = _accumulate_metrics(
                     schedule.beta, schedule.alpha_bar, vloss_acc, velbo_acc,
-                    em["loss"], em["per_sample_mse"], em["t"],
+                    em["loss"], em["per_sample_mse"], em["t"], bmask,
                     compute_elbo=spec.per_batch_elbo,
                 )
                 v_b += 1
@@ -529,6 +555,7 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
             # per-batch modes log ELBO/BPD every epoch (continuous curves,
             # train_diffusion_elbo.py:466-483), paper modes at eval points
             elbo_per_epoch=spec.per_batch_elbo,
+            style=spec.plot_style,
         )
     elif loss_log:
         title = (
@@ -621,7 +648,8 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
     # ---- pixel-PDF comparison (:861-908) ----------------------------------
     pdf_stats = compare_pdf_stats(selected_images[..., 0], recon_x[..., 0])
     viz.plot_distribution_comparison(
-        *pdf_stats, output_dir=output_dir, styled=spec.styled_plots
+        *pdf_stats, output_dir=output_dir, styled=spec.styled_plots,
+        style=spec.plot_style,
     )
     reconstructed_mean = float(recon_x.mean())
     results["means"] = {

@@ -51,16 +51,32 @@ def generate_comparison_plot(
         np.zeros((1, height, height, 1), np.float32),
         np.array([0.5], np.float32),
     )
-    if os.path.exists(model_path):
+    if model_path.endswith(".pth"):
+        # The reference's headline inference workflow loads its own torch
+        # state dicts (sample_power_spectra.py:187-189) — route .pth through
+        # the interop importer (torch-free unpickler fallback inside).
+        if not os.path.exists(model_path):
+            raise FileNotFoundError(model_path)
+        from ..utils.torch_interop import load_torch_checkpoint
+
+        variables = load_torch_checkpoint(template, model_path)
+    elif os.path.exists(model_path):
         variables = load_model_weights(template, model_path)
-    elif model_path.endswith(".pth") or not model_path:
-        raise FileNotFoundError(model_path)
-    else:
+    elif os.environ.get("CAMELS_ALLOW_FRESH_WEIGHTS") == "1":
+        # Explicit opt-in plumbing-demo mode only: everything downstream runs
+        # but the spectra are from random weights.
         print(
             f"  WARNING: checkpoint {model_path} not found — using freshly "
-            "initialized weights (plumbing demo only; spectra will not match)"
+            "initialized weights (CAMELS_ALLOW_FRESH_WEIGHTS=1 demo mode; "
+            "spectra will not match)"
         )
         variables = template
+    else:
+        raise FileNotFoundError(
+            f"checkpoint not found: {model_path} (pass a trained .msgpack or "
+            "reference .pth; set CAMELS_ALLOW_FRESH_WEIGHTS=1 to run the "
+            "plumbing with fresh random weights)"
+        )
 
     # Inference path: fold BatchNorms into the convs (identical math, no BN
     # work in the 1500-step scan).

@@ -42,11 +42,12 @@ class ModeSpec:
     guidance_sweep: bool = True  # CFG strength sweep
     sensitivity: bool = True  # per-parameter sensitivity rows
     training_metrics_figure: bool = False  # 4-panel training_metrics.png
+    plot_style: str = "default"  # figure font style ("paper1": large fonts)
     val_nll_only: bool = False  # spectrum_final: NLL on the test split only
     # Checkpoint contract (differs per reference script):
     #   "plus1":  save when (ep+1) % every == 0 or last; name model_epoch_{ep+1}
     #             (code/ conditional scripts, e.g. paper.py:476-478)
-    #   "list25": save when (ep+1) in {25,50,...}; name model_epoch_{ep} — note
+    #   "list25": save when (ep+1) in {25,50,75,100}; name model_epoch_{ep} — note
     #             the reference's own off-by-one (train_diffusion.py:154-155),
     #             and NO forced last-epoch save
     #   "mod0":   save when ep % every == 0 or last; name model_epoch_{ep}
@@ -132,8 +133,9 @@ MODES = {
         viridis=True,
         training_metrics_figure=True,
     ),
-    # code/train_diffusion_paper1.py — identical to paper.py except plot
-    # styling (diff confirms, SURVEY §2.7); registered as its own mode name.
+    # code/train_diffusion_paper1.py — identical to paper.py except the
+    # publication plot styling (diff confirms, SURVEY §2.7): fontsize 25/28,
+    # no bold, metric suffix dropped from series labels (viz._PLOT_STYLES).
     "paper1": ModeSpec(
         name="paper1",
         prefix=(
@@ -145,6 +147,7 @@ MODES = {
         post_metrics=True,
         viridis=True,
         training_metrics_figure=True,
+        plot_style="paper1",
     ),
     # code/train_diffusion_spectrum_final.py (:193) — paper suite, plain
     # plots, test-set NLL only, no power spectrum despite the name.

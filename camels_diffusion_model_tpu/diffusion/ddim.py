@@ -177,6 +177,11 @@ def sample_ddim(
     taus_prev = np.concatenate([taus[1:], np.zeros(1, np.int32)])
     w_arr = np.asarray(guide_w, np.float64)
     use_cfg = bool(np.any(w_arr > 0.0))
+    if w_arr.ndim > 0 and use_cfg and np.any(w_arr <= 0.0):
+        raise ValueError(
+            "per-sample guide_w must be all-positive (w=0 uses a different "
+            "single-forward semantics in the reference; run it separately)"
+        )
     n_real = int(np.shape(x_init)[0])
     if w_arr.ndim > 0 and w_arr.shape[0] != n_real:
         raise ValueError(

@@ -43,14 +43,14 @@ from .schedule import DDPMSchedule
 @functools.partial(jax.jit, static_argnames=("model", "use_cfg"))
 def _dpm2m_scan(
     model, variables, alpha_bar, x, cemb1, cemb2, temb1_tab, temb2_tab,
-    guide_w, taus, taus_prev, *, use_cfg: bool
+    guide_w, rng, taus, taus_prev, *, use_cfg: bool
 ):
-    def x0_pred(x, t):
+    def x0_pred(x, t, skey):
         eps = _predict_eps_film(
             model, variables, x,
             (cemb1, cemb2),
             (temb1_tab[t][None], temb2_tab[t][None]),
-            use_cfg, guide_w,
+            use_cfg, guide_w, shortcut_key=skey,
         ).astype(x.dtype)
         ab = alpha_bar[t]
         return (x - jnp.sqrt(1.0 - ab) * eps) * jax.lax.rsqrt(ab)
@@ -60,9 +60,14 @@ def _dpm2m_scan(
         return 0.5 * (jnp.log(ab) - jnp.log1p(-ab))
 
     def body(carry, ts):
-        x, prev_x0, prev_h, first = carry
+        x, prev_x0, prev_h, first, key = carry
         t, t_prev = ts
-        x0 = x0_pred(x, t)
+        # Per-step shortcut stream: models with the reference-faithful
+        # stochastic init_conv shortcut draw a fresh projection each forward
+        # (like _ddim_scan / _sample_scan_chunk); learned-shortcut models
+        # ignore the key entirely, keeping the ODE solve deterministic.
+        key, skey = jax.random.split(key)
+        x0 = x0_pred(x, t, skey)
         l_t = lam(t)
         # guard the t_prev == 0 final jump (lambda -> inf there); its branch
         # result is discarded by the where() below
@@ -78,11 +83,11 @@ def _dpm2m_scan(
         # prediction
         x_new = jnp.where(t_prev > 0, x_reg, x0)
         h_carry = jnp.where(t_prev > 0, h, prev_h)
-        return (x_new, x0, h_carry, jnp.zeros_like(first)), None
+        return (x_new, x0, h_carry, jnp.zeros_like(first), key), None
 
     first = jnp.ones((), jnp.bool_)
-    (x, _, _, _), _ = jax.lax.scan(
-        body, (x, jnp.zeros_like(x), jnp.ones((), x.dtype), first),
+    (x, _, _, _, _), _ = jax.lax.scan(
+        body, (x, jnp.zeros_like(x), jnp.ones((), x.dtype), first, rng),
         (taus, taus_prev),
     )
     return x
@@ -104,8 +109,10 @@ def sample_dpm2m(
 ) -> SamplerOutput:
     """DPM-Solver++(2M) sampling over a strided subsequence of [1, T].
 
-    Deterministic given ``x_init``; ``mesh`` shards the batch over the data
-    axis like the other samplers."""
+    Deterministic given ``x_init`` (for ``shortcut='stochastic'`` models, given
+    ``x_init`` and ``rng`` — the per-forward shortcut draws consume a key
+    stream); ``mesh`` shards the batch over the data axis like the other
+    samplers."""
     rng, xkey, pkey = jax.random.split(rng, 3)
     if x_init is None:
         x_init = jax.random.normal(
@@ -117,6 +124,11 @@ def sample_dpm2m(
     taus_prev = np.concatenate([taus[1:], np.zeros(1, np.int32)])
     w_arr = np.asarray(guide_w, np.float64)
     use_cfg = bool(np.any(w_arr > 0.0))
+    if w_arr.ndim > 0 and use_cfg and np.any(w_arr <= 0.0):
+        raise ValueError(
+            "per-sample guide_w must be all-positive (w=0 uses a different "
+            "single-forward semantics in the reference; run it separately)"
+        )
     n_real = int(np.shape(x_init)[0])
     if w_arr.ndim > 0 and w_arr.shape[0] != n_real:
         raise ValueError(
@@ -160,6 +172,7 @@ def sample_dpm2m(
         temb1_tab,
         temb2_tab,
         w,
+        rng,
         jnp.asarray(taus),
         jnp.asarray(taus_prev),
         use_cfg=use_cfg,

@@ -140,11 +140,19 @@ def nll_batch(model, variables, beta, alpha_bar, x, c, rng):
     return _chunked_t_sweep(model, variables, beta, alpha_bar, x, c, rng, "nll")
 
 
-def elbo_per_batch(beta, alpha_bar, mse_per_sample: jax.Array, t: jax.Array) -> jax.Array:
+def elbo_per_batch(
+    beta, alpha_bar, mse_per_sample: jax.Array, t: jax.Array, mask=None
+) -> jax.Array:
     """Per-batch training-time ELBO (train_diffusion_elbo.py:74-105):
-    ``mean(0.5 * (1/(1-ab_t) - 1) * mse)`` at the batch's timesteps."""
+    ``mean(0.5 * (1/(1-ab_t) - 1) * mse)`` at the batch's timesteps.
+
+    ``mask`` (B,) restricts the mean to real rows of a padded partial batch
+    (pad rows arrive with ``mse`` already zeroed by the masked train step)."""
     weight = 0.5 * (1.0 / (1.0 - alpha_bar[t]) - 1.0)
-    return jnp.mean(weight * mse_per_sample)
+    if mask is None:
+        return jnp.mean(weight * mse_per_sample)
+    m = mask.astype(mse_per_sample.dtype)
+    return jnp.sum(weight * mse_per_sample * m) / jnp.sum(m)
 
 
 def elbo_full_trajectory_batch(model, variables, beta, alpha_bar, x, c, rng):

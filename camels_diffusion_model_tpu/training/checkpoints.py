@@ -29,7 +29,10 @@ def weights_checkpoint_plan(
 
     "plus1":  (ep+1) % every == 0 or last epoch; ``model_epoch_{ep+1}``
               (code/ conditional scripts, paper.py:476-478).
-    "list25": (ep+1) % every == 0 only — NO forced last-epoch save — and the
+    "list25": the reference's FIXED epoch list {25, 50, 75, 100} scaled by
+              ``every/25`` — i.e. (ep+1) in {every, 2*every, 3*every, 4*every}
+              — NO forced last-epoch save, NO saves past the 4th multiple
+              (train_diffusion.py:154 hard-codes [25, 50, 75, 100]), and the
               reference's own off-by-one name ``model_epoch_{ep}``
               (train_diffusion.py:154-155).
     "mod0":   ep % every == 0 or last epoch; ``model_epoch_{ep}``
@@ -39,7 +42,8 @@ def weights_checkpoint_plan(
     if style == "mod0":
         return (ep % every == 0 or last), f"model_epoch_{ep}.msgpack"
     if style == "list25":
-        return ((ep + 1) % every == 0), f"model_epoch_{ep}.msgpack"
+        in_list = (ep + 1) in {every, 2 * every, 3 * every, 4 * every}
+        return in_list, f"model_epoch_{ep}.msgpack"
     if style == "plus1":
         return ((ep + 1) % every == 0 or last), f"model_epoch_{ep + 1}.msgpack"
     raise ValueError(f"unknown ckpt_style {style!r}")

@@ -85,11 +85,20 @@ def make_train_step(
 ):
     """Build the jitted train step.
 
-    step(state, x, c, rng) -> (state, metrics) with metrics
+    step(state, x, c, rng, mask=None) -> (state, metrics) with metrics
     {"loss", "per_sample_mse", "t"}.  ``x`` NHWC, ``c`` (B, n_cfeat).
     ``beta1``/``beta2`` are the noise-schedule endpoints — they must match the
     schedule used for sampling and ELBO/NLL evaluation so every phase sees one
     diffusion process.
+
+    ``mask`` (B,) marks real rows (1) vs pad rows (0) of a padded partial
+    batch: the loss/gradient is the mean over REAL rows only and pad rows'
+    ``per_sample_mse`` comes back zeroed.  Padding keeps every step of every
+    epoch on the ONE compiled program with the same sharded layout (a
+    non-divisible final batch would otherwise compile a second shape and —
+    under a mesh — run replicated).  Pad rows do still participate in
+    BatchNorm batch statistics; the epoch loops pad by wrapping real rows, so
+    those stats stay sane (documented divergence for the final partial batch).
 
     ``donate=True`` donates the incoming TrainState's buffers (params, Adam
     moments, batch stats — ~3x the model size) so the update happens in place
@@ -105,7 +114,7 @@ def make_train_step(
     alpha_bar = make_schedule(timesteps, beta1, beta2).alpha_bar
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def train_step(state: TrainState, x, c, rng):
+    def train_step(state: TrainState, x, c, rng, mask=None):
         tkey, nkey, skey = jax.random.split(rng, 3)
         b = x.shape[0]
         t = jax.random.randint(tkey, (b,), 1, timesteps + 1)
@@ -127,7 +136,13 @@ def make_train_step(
             per_sample = jnp.mean(
                 jnp.square(out - noise), axis=tuple(range(1, out.ndim))
             )
-            return jnp.mean(per_sample), (per_sample, mutated["batch_stats"])
+            if mask is not None:
+                m = mask.astype(per_sample.dtype)
+                per_sample = per_sample * m
+                loss = jnp.sum(per_sample) / jnp.sum(m)
+            else:
+                loss = jnp.mean(per_sample)
+            return loss, (per_sample, mutated["batch_stats"])
 
         (loss, (per_sample, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -157,7 +172,7 @@ def make_eval_step(
     alpha_bar = make_schedule(timesteps, beta1, beta2).alpha_bar
 
     @jax.jit
-    def eval_step(params, batch_stats, x, c, rng):
+    def eval_step(params, batch_stats, x, c, rng, mask=None):
         tkey, nkey, skey = jax.random.split(rng, 3)
         b = x.shape[0]
         t = jax.random.randint(tkey, (b,), 1, timesteps + 1)
@@ -174,6 +189,12 @@ def make_eval_step(
         per_sample = jnp.mean(
             jnp.square(out - noise), axis=tuple(range(1, out.ndim))
         )
-        return {"loss": jnp.mean(per_sample), "per_sample_mse": per_sample, "t": t}
+        if mask is not None:
+            m = mask.astype(per_sample.dtype)
+            per_sample = per_sample * m
+            loss = jnp.sum(per_sample) / jnp.sum(m)
+        else:
+            loss = jnp.mean(per_sample)
+        return {"loss": loss, "per_sample_mse": per_sample, "t": t}
 
     return eval_step

@@ -270,8 +270,129 @@ def save_torch_checkpoint(variables: Dict[str, Any], path: str, levels: int = 2)
 def load_torch_checkpoint(
     template_variables: Dict[str, Any], path: str, levels: int = 2
 ):
-    """Load a reference ``.pth`` into Flax variables (requires torch)."""
-    import torch
+    """Load a reference ``.pth`` into Flax variables.
 
-    sd = torch.load(path, map_location="cpu")
+    Uses torch if available; otherwise falls back to the torch-free zip
+    unpickler below (the reference saves plain ``state_dict`` files,
+    train_diffusion_paper.py:477, which need no torch classes to decode)."""
+    sd = load_reference_state_dict(path)
     return import_from_torch_state_dict(template_variables, sd, levels)
+
+
+def load_reference_state_dict(path: str) -> Dict[str, Any]:
+    """Read a ``torch.save(state_dict)`` ``.pth`` into {name: numpy array}.
+
+    Prefers torch when importable; otherwise decodes the file directly."""
+    try:
+        import torch
+    except ImportError:
+        return _load_pth_without_torch(path)
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return sd
+
+
+# ---------------------------------------------------------------------------
+# Torch-free .pth decoding
+# ---------------------------------------------------------------------------
+
+_STORAGE_DTYPES = {
+    "FloatStorage": np.float32,
+    "DoubleStorage": np.float64,
+    "HalfStorage": np.float16,
+    "BFloat16Storage": None,  # handled specially (numpy has no bfloat16)
+    "LongStorage": np.int64,
+    "IntStorage": np.int32,
+    "ShortStorage": np.int16,
+    "CharStorage": np.int8,
+    "ByteStorage": np.uint8,
+    "BoolStorage": np.bool_,
+}
+
+
+def _load_pth_without_torch(path: str) -> Dict[str, np.ndarray]:
+    """Decode a modern (zip-format, torch>=1.6) ``.pth`` state dict without
+    importing torch.
+
+    The archive holds ``<name>/data.pkl`` (a pickle whose tensors are
+    persistent-id references) plus one raw little-endian buffer per storage
+    under ``<name>/data/<key>``.  Only plain state dicts of dense CPU tensors
+    are supported — exactly what ``torch.save(model.state_dict())`` emits."""
+    import pickle
+    import zipfile
+
+    zf = zipfile.ZipFile(path)
+    pkl_names = [n for n in zf.namelist() if n.endswith("/data.pkl")]
+    if not pkl_names:
+        raise ValueError(
+            f"{path}: not a torch zip checkpoint (legacy pre-1.6 format "
+            "needs torch installed to load)"
+        )
+    prefix = pkl_names[0][: -len("data.pkl")]
+
+    storages: Dict[str, tuple] = {}  # key -> (np dtype or 'bf16', raw bytes)
+
+    class _StorageStub:
+        def __init__(self, name):
+            self.name = name
+
+    def _rebuild_tensor_v2(storage, offset, size, stride, *_args):
+        dtype_name, raw = storage
+        if dtype_name == "BFloat16Storage":
+            # numpy lacks bfloat16: widen via uint16 bit pattern -> float32
+            u16 = np.frombuffer(raw, np.uint16)
+            arr_flat = (u16.astype(np.uint32) << 16).view(np.float32)
+            itemsize = 2
+        else:
+            npdt = _STORAGE_DTYPES[dtype_name]
+            arr_flat = np.frombuffer(raw, npdt)
+            itemsize = arr_flat.dtype.itemsize
+        if not size:
+            return arr_flat[offset].copy()
+        byte_strides = tuple(int(s) * arr_flat.dtype.itemsize for s in stride)
+        del itemsize
+        view = np.lib.stride_tricks.as_strided(
+            arr_flat[offset:], shape=tuple(int(s) for s in size),
+            strides=byte_strides, writeable=False,
+        )
+        return np.ascontiguousarray(view)
+
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if module == "torch._utils" and name in (
+                "_rebuild_tensor_v2", "_rebuild_tensor"
+            ):
+                return _rebuild_tensor_v2
+            if module == "torch" and name in _STORAGE_DTYPES:
+                return _StorageStub(name)
+            if module == "collections" and name == "OrderedDict":
+                import collections
+
+                return collections.OrderedDict
+            if module == "torch" and name in ("float32", "float64", "float16",
+                                              "bfloat16", "int64", "int32",
+                                              "int16", "int8", "uint8", "bool"):
+                return name  # dtype markers in newer persistent ids
+            raise pickle.UnpicklingError(
+                f"torch-free .pth loader: unsupported global {module}.{name} "
+                "(only plain dense state dicts are supported)"
+            )
+
+        def persistent_load(self, pid):
+            # ('storage', storage_type, key, location, numel)
+            if not (isinstance(pid, tuple) and pid and pid[0] == "storage"):
+                raise pickle.UnpicklingError(f"unsupported persistent id {pid!r}")
+            storage_type, key = pid[1], pid[2]
+            name = (
+                storage_type.name
+                if isinstance(storage_type, _StorageStub)
+                else str(storage_type)
+            )
+            if name not in _STORAGE_DTYPES:
+                raise pickle.UnpicklingError(f"unsupported storage type {name}")
+            if key not in storages:
+                storages[key] = (name, zf.read(f"{prefix}data/{key}"))
+            return storages[key]
+
+    with zf.open(pkl_names[0]) as f:
+        obj = _Unpickler(f).load()
+    return {k: np.asarray(v) for k, v in dict(obj).items()}

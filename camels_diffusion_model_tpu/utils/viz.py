@@ -104,6 +104,18 @@ def visualize_reconstruction_comparison(
     plt.close(fig)
 
 
+# Figure-font styles: "default" is paper.py's; "paper1" is the large-font
+# publication variant (train_diffusion_paper1.py — the ONLY behavioral diff
+# from paper.py: fontsize 25/28, no bold, metric suffix dropped from series
+# labels, tick labelsize 16 on the distribution figure).
+_PLOT_STYLES = {
+    "default": dict(label_fs=14, legend_fs=16, title_fs=18, weight="bold",
+                    series_suffix=True, dist_legend_fs=16, tick_fs=None),
+    "paper1": dict(label_fs=25, legend_fs=25, title_fs=28, weight="normal",
+                   series_suffix=False, dist_legend_fs=22, tick_fs=16),
+}
+
+
 def plot_training_metrics(
     output_dir: str,
     n_epoch: int,
@@ -117,12 +129,20 @@ def plot_training_metrics(
     val_bpd_log: Sequence[float],
     eval_every: int = 5,
     elbo_per_epoch: bool = False,
+    style: str = "default",
 ) -> None:
     """4-panel loss/NLL/ELBO/BPD figure (train_diffusion_paper.py:495-546).
 
     ``elbo_per_epoch``: the elbo/spectrum_indiv modes log training ELBO/BPD
     every epoch (continuous curves over 1..n_epoch,
-    train_diffusion_elbo.py:466-483); paper modes only at eval points."""
+    train_diffusion_elbo.py:466-483); paper modes only at eval points.
+    ``style="paper1"`` selects the large-font variant
+    (train_diffusion_paper1.py:506-542)."""
+    st = _PLOT_STYLES[style]
+
+    def _lab(series, metric):
+        return f"{series} {metric}" if st["series_suffix"] else series
+
     plt.figure(figsize=(15, 10))
     eval_epochs = list(range(0, n_epoch, eval_every))
     if (n_epoch - 1) % eval_every != 0:
@@ -136,31 +156,31 @@ def plot_training_metrics(
 
     plt.subplot(2, 2, 1)
     plt.plot(range(1, n_epoch + 1), np.log(loss_log), color="orange",
-             label="Training Loss", linewidth=2)
+             label=_lab("Training", "Loss"), linewidth=2)
     if val_loss_log:
         xs, ys = _trim(eval_x, val_loss_log)
         plt.plot(xs, np.log(ys), "o-", color="blue",
-                 label="Validation Loss", linewidth=2, markersize=6)
-    plt.xlabel("Epoch", fontsize=14)
-    plt.ylabel("Log Loss", fontsize=14)
-    plt.legend(fontsize=16)
+                 label=_lab("Validation", "Loss"), linewidth=2, markersize=6)
+    plt.xlabel("Epoch", fontsize=st["label_fs"])
+    plt.ylabel("Log Loss", fontsize=st["label_fs"])
+    plt.legend(fontsize=st["legend_fs"])
     plt.grid(True, alpha=0.7)
-    plt.title("Training Metrics", fontsize=18, fontweight="bold")
+    plt.title("Training Metrics", fontsize=st["title_fs"], fontweight=st["weight"])
 
     plt.subplot(2, 2, 2)
     if likelihood_log:
         xs, ys = _trim(eval_x, likelihood_log)
         plt.plot(xs, ys, "o-", color="orange",
-                 label="Training NLL", linewidth=2, markersize=6)
+                 label=_lab("Training", "NLL"), linewidth=2, markersize=6)
     if val_likelihood_log:
         xs, ys = _trim(eval_x, val_likelihood_log)
         plt.plot(xs, ys, "o-", color="blue",
-                 label="Validation NLL", linewidth=2, markersize=6)
-    plt.xlabel("Epoch", fontsize=14)
-    plt.ylabel("NLL", fontsize=14)
-    plt.legend(fontsize=16)
+                 label=_lab("Validation", "NLL"), linewidth=2, markersize=6)
+    plt.xlabel("Epoch", fontsize=st["label_fs"])
+    plt.ylabel("NLL", fontsize=st["label_fs"])
+    plt.legend(fontsize=st["legend_fs"])
     plt.grid(True, alpha=0.7)
-    plt.title("Negative Log Likelihood Evolution", fontsize=18, fontweight="bold")
+    plt.title("Negative Log Likelihood Evolution", fontsize=st["title_fs"], fontweight=st["weight"])
 
     plt.subplot(2, 2, 3)
     if elbo_log:
@@ -168,16 +188,16 @@ def plot_training_metrics(
             xs, ys = range(1, len(elbo_log) + 1), elbo_log
         else:
             xs, ys = _trim(eval_x, elbo_log)
-        plt.plot(xs, ys, color="orange", label="Training ELBO", linewidth=2)
+        plt.plot(xs, ys, color="orange", label=_lab("Training", "ELBO"), linewidth=2)
     if val_elbo_log:
         xs, ys = _trim(eval_x, val_elbo_log)
         plt.plot(xs, ys, "o-", color="blue",
-                 label="Validation ELBO", linewidth=2, markersize=6)
-    plt.xlabel("Epoch", fontsize=14)
-    plt.ylabel("ELBO", fontsize=14)
-    plt.legend(fontsize=16)
+                 label=_lab("Validation", "ELBO"), linewidth=2, markersize=6)
+    plt.xlabel("Epoch", fontsize=st["label_fs"])
+    plt.ylabel("ELBO", fontsize=st["label_fs"])
+    plt.legend(fontsize=st["legend_fs"])
     plt.grid(True, alpha=0.7)
-    plt.title("ELBO Evolution", fontsize=18, fontweight="bold")
+    plt.title("ELBO Evolution", fontsize=st["title_fs"], fontweight=st["weight"])
 
     plt.subplot(2, 2, 4)
     if bpd_log:
@@ -185,16 +205,16 @@ def plot_training_metrics(
             xs, ys = range(1, len(bpd_log) + 1), bpd_log
         else:
             xs, ys = _trim(eval_x, bpd_log)
-        plt.plot(xs, ys, color="orange", label="Training BPD", linewidth=2)
+        plt.plot(xs, ys, color="orange", label=_lab("Training", "BPD"), linewidth=2)
     if val_bpd_log:
         xs, ys = _trim(eval_x, val_bpd_log)
         plt.plot(xs, ys, "o-", color="blue",
-                 label="Validation BPD", linewidth=2, markersize=6)
-    plt.xlabel("Epoch", fontsize=14)
-    plt.ylabel("Bits Per Dimension (BPD)", fontsize=14)
-    plt.legend(fontsize=16)
+                 label=_lab("Validation", "BPD"), linewidth=2, markersize=6)
+    plt.xlabel("Epoch", fontsize=st["label_fs"])
+    plt.ylabel("Bits Per Dimension (BPD)", fontsize=st["label_fs"])
+    plt.legend(fontsize=st["legend_fs"])
     plt.grid(True, alpha=0.7)
-    plt.title("BPD Evolution", fontsize=18, fontweight="bold")
+    plt.title("BPD Evolution", fontsize=st["title_fs"], fontweight=st["weight"])
 
     plt.tight_layout()
     plt.savefig(os.path.join(output_dir, "training_metrics.png"), dpi=300,
@@ -245,22 +265,32 @@ def plot_distribution_comparison(
     output_dir: str,
     filename: str = "distribution_comparison.png",
     styled: bool = True,
+    style: str = "default",
 ) -> str:
-    """Two-panel mean/std pixel-PDF figure (train_diffusion_paper.py:861-905)."""
+    """Two-panel mean/std pixel-PDF figure (train_diffusion_paper.py:861-905).
+
+    ``style="paper1"`` selects the large-font variant
+    (train_diffusion_paper1.py:887-900: fontsize 25, legend 22, tick
+    labelsize 16, non-bold suptitle)."""
+    st = _PLOT_STYLES[style]
     fig, ax = plt.subplots(1, 2, figsize=(14, 4))
     ax[0].plot(bin_mid, orig_mean, color="blue", linewidth=2, label="Original")
     ax[0].plot(bin_mid, gen_mean, color="red", linewidth=2, linestyle="--",
                label="Model")
-    ax[0].set_ylabel(r"$\mu(\rm PDF)$", fontsize=14)
-    ax[0].legend(fontsize=16)
+    ax[0].set_ylabel(r"$\mu(\rm PDF)$", fontsize=st["label_fs"])
+    ax[0].legend(fontsize=st["dist_legend_fs"])
     ax[1].plot(bin_mid, orig_std, color="blue", linewidth=2)
     ax[1].plot(bin_mid, gen_std, color="red", linewidth=2, linestyle="--")
-    ax[1].set_ylabel(r"$\sigma(\rm PDF)$", fontsize=14)
+    ax[1].set_ylabel(r"$\sigma(\rm PDF)$", fontsize=st["label_fs"])
     for i in range(2):
-        ax[i].set_xlabel(r"$N_{\rm HI}$", fontsize=14)
+        ax[i].set_xlabel(r"$N_{\rm HI}$", fontsize=st["label_fs"])
+        if st["tick_fs"]:
+            ax[i].tick_params(axis="both", which="major",
+                              labelsize=st["tick_fs"])
         ax[i].grid(True, alpha=0.7)
     if styled:
-        fig.suptitle("Probability Distribution", fontsize=18, fontweight="bold")
+        fig.suptitle("Probability Distribution", fontsize=st["title_fs"],
+                     fontweight=st["weight"])
     plt.tight_layout()
     path = os.path.join(output_dir, filename)
     plt.savefig(path, dpi=300, bbox_inches="tight")

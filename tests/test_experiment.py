@@ -187,6 +187,65 @@ def test_resume_from_checkpoint(tmp_path):
     assert "means" in res2
 
 
+def test_sample_cli_missing_checkpoint_is_hard_error(tmp_path):
+    """A typo'd checkpoint path must NOT silently fall back to fresh random
+    weights (it used to produce a complete plausible-looking artifact set)."""
+    from camels_diffusion_model_tpu.cli.sample import generate_comparison_plot
+
+    for name in ("absent.msgpack", "absent.pth"):
+        with pytest.raises(FileNotFoundError):
+            generate_comparison_plot(
+                model_path=str(tmp_path / name),
+                camels_data_path=str(tmp_path / "no_maps.npy"),
+                params_path=str(tmp_path / "no_params.npy"),
+                output_dir=str(tmp_path / "out"),
+                selected_params_dict={"Omega_m": 0.3},
+                n_maps=2,
+                timesteps=4,
+                n_feat=8,
+                height=16,
+                seed=1,
+            )
+
+
+@pytest.mark.slow
+def test_sample_cli_loads_reference_pth(tmp_path, monkeypatch):
+    """The reference's headline inference workflow — sample from a torch
+    ``.pth`` state dict (sample_power_spectra.py:187-189) — end-to-end:
+    export a trained-format .pth, then run the CLI runner on it."""
+    import jax
+
+    from camels_diffusion_model_tpu.cli.sample import generate_comparison_plot
+    from camels_diffusion_model_tpu.models import ContextUnet
+    from camels_diffusion_model_tpu.utils.torch_interop import (
+        save_torch_checkpoint,
+    )
+
+    model = ContextUnet(in_channels=1, n_feat=8, n_cfeat=6, height=16, levels=2)
+    variables = model.init(
+        jax.random.PRNGKey(3),
+        np.zeros((1, 16, 16, 1), np.float32),
+        np.array([0.5], np.float32),
+    )
+    pth = str(tmp_path / "model_epoch_100.pth")
+    save_torch_checkpoint(variables, pth)
+    monkeypatch.setenv("CAMELS_SERVING_STEPS", "4")
+    res = generate_comparison_plot(
+        model_path=pth,
+        camels_data_path=str(tmp_path / "no_maps.npy"),
+        params_path=str(tmp_path / "no_params.npy"),
+        output_dir=str(tmp_path / "out"),
+        selected_params_dict={"Omega_m": 0.3},
+        n_maps=5,
+        timesteps=8,
+        n_feat=8,
+        height=16,
+        seed=1,
+    )
+    assert os.path.exists(tmp_path / "out" / "power_spectrum_results.npy")
+    assert np.all(np.isfinite(res["hicdm_pk_mean"][np.isfinite(res["k"])][1:]))
+
+
 @pytest.mark.slow
 def test_sample_cli_serving_fast_path(tmp_path, monkeypatch):
     """sample_power_spectra's runner honors CAMELS_SERVING_STEPS (the
@@ -195,6 +254,7 @@ def test_sample_cli_serving_fast_path(tmp_path, monkeypatch):
     from camels_diffusion_model_tpu.cli.sample import generate_comparison_plot
 
     monkeypatch.setenv("CAMELS_SERVING_STEPS", "4")
+    monkeypatch.setenv("CAMELS_ALLOW_FRESH_WEIGHTS", "1")
     res = generate_comparison_plot(
         model_path=str(tmp_path / "absent.msgpack"),
         camels_data_path=str(tmp_path / "no_maps.npy"),

@@ -144,6 +144,27 @@ def test_full_roundtrip_preserves_forward(tiny_model_and_vars, tmp_path):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_torch_free_pth_loader_matches_torch(tiny_model_and_vars, tmp_path):
+    """The torch-free zip unpickler decodes a real ``torch.save(state_dict)``
+    file identically to ``torch.load`` (keys, shapes, values) — this is the
+    fallback that keeps reference ``.pth`` loading alive without torch."""
+    import torch
+
+    from camels_diffusion_model_tpu.utils.torch_interop import (
+        _load_pth_without_torch,
+    )
+
+    model, variables = tiny_model_and_vars
+    path = str(tmp_path / "model.pth")
+    save_torch_checkpoint(variables, path)
+    via_torch = {k: np.asarray(v) for k, v in torch.load(
+        path, map_location="cpu", weights_only=True).items()}
+    via_free = _load_pth_without_torch(path)
+    assert set(via_free) == set(via_torch)
+    for k in via_torch:
+        np.testing.assert_array_equal(via_free[k], via_torch[k], err_msg=k)
+
+
 def test_import_shortcut_is_template_independent(tiny_model_and_vars, tmp_path):
     """Two imports of the SAME .pth from DIFFERENT templates give identical
     models (the shortcut comes from PRNGKey(shortcut_seed), not the template)."""

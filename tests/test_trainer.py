@@ -139,9 +139,12 @@ def test_weights_checkpoint_plan():
     assert weights_checkpoint_plan("plus1", 9, 10, 25) == (
         True, "model_epoch_10.msgpack")
     # list25 (train_diffusion.py): name uses ep (the reference's off-by-one),
-    # and NO forced last-epoch save
+    # NO forced last-epoch save, and the FIXED 4-entry list {25,50,75,100} —
+    # no saves past the 4th multiple (train_diffusion.py:154)
     assert weights_checkpoint_plan("list25", 24, 100, 25) == (
         True, "model_epoch_24.msgpack")
+    assert weights_checkpoint_plan("list25", 99, 200, 25)[0] is True
+    assert weights_checkpoint_plan("list25", 124, 200, 25)[0] is False
     assert weights_checkpoint_plan("list25", 9, 10, 25)[0] is False
     # mod0 (initial.py & co): ep % 4 == 0 or last, name ep
     assert weights_checkpoint_plan("mod0", 0, 10, 4) == (

@@ -77,6 +77,31 @@ def test_plot_grid(tmp_path):
     assert os.path.exists(str(tmp_path) + "/run_image_w1.0.png")
 
 
+def test_paper1_plot_style(tmp_path):
+    """paper1's publication styling (the ONLY behavioral diff of
+    train_diffusion_paper1.py vs paper.py: fontsize 25/28, no bold, metric
+    suffix dropped — paper1.py:506-542, :887-900) renders both figures."""
+    st = viz._PLOT_STYLES["paper1"]
+    assert (st["label_fs"], st["legend_fs"], st["title_fs"]) == (25, 25, 28)
+    assert st["weight"] == "normal" and st["tick_fs"] == 16
+    losses = [1.0, 0.5, 0.25, 0.2]
+    for style in ("default", "paper1"):
+        d = tmp_path / style
+        os.makedirs(d)
+        viz.plot_training_metrics(
+            str(d), 4, losses, [0.6, 0.3], [5.0, 4.0], [5.5, 4.5],
+            [1.0, 0.9], [1.1, 0.95], [0.2, 0.18], [0.22, 0.19],
+            eval_every=2, style=style,
+        )
+        assert os.path.exists(d / "training_metrics.png")
+        bins = np.linspace(0, 1, 8)
+        viz.plot_distribution_comparison(
+            bins, bins, bins * 0.1, bins * 1.1, bins * 0.12,
+            output_dir=str(d), style=style,
+        )
+        assert os.path.exists(d / "distribution_comparison.png")
+
+
 def test_compare_power_spectra_contract(tmp_path):
     from camels_diffusion_model_tpu.ops.spectrum import compare_power_spectra
 
