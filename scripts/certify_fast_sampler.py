@@ -67,6 +67,12 @@ def main():
     # "Statistical quality validation").
     ap.add_argument("--scaling", choices=["standard", "reference"],
                     default="standard")
+    # Which reduced-step families to sweep over --ddim-steps: "strided"
+    # (sigma_mode="beta", the only family that converges to the reference
+    # chain) is enough for fine valley searches; "both" adds the eta=0 DDIM
+    # rows for the record.
+    ap.add_argument("--families", choices=["both", "strided", "ddim"],
+                    default="both")
     args = ap.parse_args()
     os.makedirs(args.outdir, exist_ok=True)
 
@@ -294,6 +300,10 @@ def main():
         ("strided DDPM", 1.0, "beta"),
         ("DDIM", 0.0, "posterior"),
     )
+    if args.families == "strided":
+        families = families[:1]
+    elif args.families == "ddim":
+        families = families[1:]
     for n_steps in args.ddim_steps:
         for family, eta, smode in families:
             label = f"{family} {n_steps}"
