@@ -126,6 +126,87 @@ def xla_cost_check(batch=8):
     return float(ca.get("flops", float("nan"))) / batch
 
 
+def train_step_audit(batch, timesteps, measure=False, scaling="reference",
+                     n_timed_steps=20):
+    """Speed-of-light audit of ONE jitted training step (fwd + bwd + Adam).
+
+    Analytic floor: a conv's backward costs ~2x its forward (grad-input +
+    grad-weight convs), so a train step is ~3x forward FLOPs.  The authoritative
+    number is XLA's cost analysis of the ACTUAL compiled step (includes BN
+    statistics, Adam, and any rematerialization).  With ``measure=True`` the
+    step is also timed on the device twice: once with device-resident input
+    (pure step cost) and once feeding fresh numpy arrays each step (the
+    production host->device path), so the input-pipeline overhead is isolated.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from camels_diffusion_model_tpu.models import ContextUnet
+    from camels_diffusion_model_tpu.training import (
+        create_train_state,
+        make_train_step,
+    )
+
+    model = ContextUnet(n_feat=128, n_cfeat=6, height=64, levels=2,
+                        dtype=jnp.bfloat16)
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 64, 64, 1), np.float32),
+        np.array([0.5], np.float32),
+    )
+    state = create_train_state(model, variables, 1e-4, 100, 422)
+    step = make_train_step(model, timesteps, scaling=scaling, donate=True)
+
+    rs = np.random.RandomState(0)
+    x_np = rs.rand(batch, 64, 64, 1).astype(np.float32)
+    c_np = rs.rand(batch, 6).astype(np.float32)
+    key = jax.random.PRNGKey(1)
+
+    lowered = step.lower(state, jnp.asarray(x_np), jnp.asarray(c_np), key)
+    ca = lowered.compile().cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    flops = float(ca.get("flops", float("nan")))
+    nbytes = float(ca.get("bytes accessed", float("nan")))
+    out = {
+        "batch": batch,
+        "xla_train_step_gf": flops / 1e9,
+        "xla_train_step_gf_per_img": flops / batch / 1e9,
+        "xla_bytes_accessed_gb": nbytes / 1e9,
+    }
+    if not measure:
+        return out
+
+    def timed(feed_host):
+        nonlocal state
+        st = state
+        x_dev, c_dev = jnp.asarray(x_np), jnp.asarray(c_np)
+        k = key
+        for _ in range(3):  # warm-up (compile + donation steady-state)
+            k, sub = jax.random.split(k)
+            st, m = step(st, x_dev, c_dev, sub)
+            if feed_host:
+                x_dev, c_dev = jnp.asarray(x_np), jnp.asarray(c_np)
+        _ = float(m["loss"])  # dependent host read = barrier
+        t0 = time.time()
+        for _ in range(n_timed_steps):
+            k, sub = jax.random.split(k)
+            if feed_host:
+                # fresh numpy each step -> genuine H2D on the hot path
+                x_dev = np.ascontiguousarray(x_np)
+                c_dev = np.ascontiguousarray(c_np)
+            st, m = step(st, x_dev, c_dev, sub)
+        _ = float(m["loss"])
+        dt = time.time() - t0
+        state = st
+        return batch * n_timed_steps / dt
+
+    out["imgs_per_sec_device_input"] = timed(False)
+    out["imgs_per_sec_host_input"] = timed(True)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--timesteps", type=int, default=1500)
@@ -133,7 +214,19 @@ def main():
     ap.add_argument("--height", type=int, default=64)
     ap.add_argument("--n-feat", type=int, default=128)
     ap.add_argument("--skip-xla", action="store_true")
+    ap.add_argument("--train", action="store_true",
+                    help="audit the training step instead of sampling")
+    ap.add_argument("--train-batches", type=int, nargs="*",
+                    default=[32, 256])
+    ap.add_argument("--measure", action="store_true",
+                    help="also time the train step on the device")
+    ap.add_argument("--scaling", choices=["reference", "standard"],
+                    default="reference")
     args = ap.parse_args()
+
+    if args.train:
+        train_main(args)
+        return
 
     detail = []
     per_eval = canonical_forward_flops(args.height, args.n_feat, 1, detail)
@@ -190,6 +283,55 @@ def main():
         except Exception as e:  # cost analysis availability varies by backend
             print(f"\nXLA cost-analysis unavailable: {type(e).__name__}: {e}")
     print("\n" + json.dumps(result))
+
+
+def train_main(args):
+    import jax
+
+    fwd = canonical_forward_flops(args.height, args.n_feat, 1)
+    analytic_step = 3.0 * fwd  # fwd + ~2x fwd for conv backward
+    print(f"Analytic: forward {fwd / 1e9:.3f} GF/img, "
+          f"train step ~3x = {analytic_step / 1e9:.3f} GF/img")
+
+    peak_tf = os.environ.get("CAMELS_PEAK_TFLOPS")
+    kind = "unknown"
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        pass
+    if peak_tf is None:
+        peak_tf = PEAK_TFLOPS_BY_KIND.get(kind, 197.0)
+    peak_tf = float(peak_tf)
+
+    results = []
+    for b in args.train_batches:
+        r = train_step_audit(b, args.timesteps, measure=args.measure,
+                             scaling=args.scaling)
+        gf_img = r["xla_train_step_gf_per_img"]
+        r["analytic_gf_per_img"] = analytic_step / 1e9
+        r["sol_imgs_per_sec"] = peak_tf * 1e12 / (gf_img * 1e9)
+        # Arithmetic intensity of the whole compiled step: below the device's
+        # ridge point (~#peak_flops/HBM_BW ~ 240 F/B on v5e) the step is
+        # HBM-bound, not MXU-bound.
+        r["flops_per_byte"] = (
+            r["xla_train_step_gf"] / r["xla_bytes_accessed_gb"]
+        )
+        print(f"batch {b}: XLA {gf_img:.2f} GF/img "
+              f"({r['xla_train_step_gf']:.1f} GF/step, "
+              f"{r['xla_bytes_accessed_gb']:.2f} GB accessed, "
+              f"{r['flops_per_byte']:.0f} F/B), "
+              f"SOL {r['sol_imgs_per_sec']:.0f} imgs/s at {peak_tf:.0f} TF/s")
+        if args.measure:
+            dev = r["imgs_per_sec_device_input"]
+            host = r["imgs_per_sec_host_input"]
+            r["pct_of_sol_device_input"] = 100.0 * dev / r["sol_imgs_per_sec"]
+            print(f"  measured: {dev:.0f} imgs/s device-input "
+                  f"({r['pct_of_sol_device_input']:.0f}% of SOL), "
+                  f"{host:.0f} imgs/s host-input "
+                  f"(input pipeline costs {100 * (1 - host / dev):.0f}%)")
+        results.append(r)
+    print("\n" + json.dumps({"device_kind": kind, "peak_tflops": peak_tf,
+                             "rows": results}))
 
 
 if __name__ == "__main__":
