@@ -73,6 +73,14 @@ def main():
     # rows for the record.
     ap.add_argument("--families", choices=["both", "strided", "ddim"],
                     default="both")
+    # Reuse the DDPM reference + noise-floor spectra from a previous
+    # certification.json (MUST come from the same checkpoint and the same
+    # --eval-maps/--param-sets/--guide-w so the estimator protocol matches);
+    # skips the two ~12-min full-step reference generations when extending
+    # a sweep with more step counts.
+    ap.add_argument("--ref-from", default=None,
+                    help="path to a prior certification.json to reuse the "
+                         "DDPM reference and floor rows from")
     args = ap.parse_args()
     os.makedirs(args.outdir, exist_ok=True)
 
@@ -211,11 +219,25 @@ def main():
             n_steps=n_steps, eta=eta, x_init=x0, sigma_mode=sigma_mode,
         ).x
 
-    print(f"reference: DDPM {T}-step CFG w={args.guide_w}, "
-          f"{n_eval} maps...", flush=True)
-    k_bins, pk_ddpm = gen_mean_pk(ddpm_slice(200), f"DDPM-{T} seed A")
-    _, pk_data_all = power_spectrum_batch(ds.train_x[:n_eval, ..., 0])
-    pk_data = np.asarray(pk_data_all).mean(axis=0)
+    prev = None
+    if args.ref_from:
+        with open(args.ref_from) as f:
+            prev = json.load(f)
+        for field, want in (("n_eval_maps", n_eval), ("guide_w", args.guide_w),
+                            ("timesteps", T), ("scaling", args.scaling)):
+            assert prev[field] == want, (
+                f"--ref-from protocol mismatch: {field}={prev[field]} != {want}"
+            )
+        k_bins = np.asarray(prev["k_bins"])
+        pk_ddpm = np.asarray(prev["pk_ddpm_ref"])
+        pk_data = np.asarray(prev["pk_data"])
+        print(f"reference spectra reused from {args.ref_from}", flush=True)
+    else:
+        print(f"reference: DDPM {T}-step CFG w={args.guide_w}, "
+              f"{n_eval} maps...", flush=True)
+        k_bins, pk_ddpm = gen_mean_pk(ddpm_slice(200), f"DDPM-{T} seed A")
+        _, pk_data_all = power_spectrum_batch(ds.train_x[:n_eval, ..., 0])
+        pk_data = np.asarray(pk_data_all).mean(axis=0)
 
     # populated, non-DC bins (the k=0 bin and empty high-k bins are excluded
     # exactly like the reference's "populated bins" logging)
@@ -263,31 +285,43 @@ def main():
               flush=True)
         return e_ddpm
 
-    tp_ddpm = throughput(lambda s: sample_ddpm(
-        inf_model, inf_vars, schedule, jax.random.PRNGKey(s),
-        n_sample=args.bench_batch, size=64, params=bench_params,
-        guide_w=args.guide_w, measure_timing=False,
-    ))
-    add_row(f"DDPM {T} (reference math)", T, tp_ddpm, pk_ddpm)
-    print(f"DDPM-{T}: {tp_ddpm:.1f} maps/min", flush=True)
+    if prev is not None:
+        tp_ddpm = prev["rows"][0]["maps_per_min"]
+        add_row(f"DDPM {T} (reference math)", T, tp_ddpm, pk_ddpm)
+        floor_row = next(
+            r for r in prev["rows"] if "independent seed" in r["config"]
+        )
+        floor = add_row(
+            f"DDPM {T}, independent seed", T, tp_ddpm,
+            np.asarray(floor_row["pk"]), note="estimator noise floor",
+        )
+    else:
+        tp_ddpm = throughput(lambda s: sample_ddpm(
+            inf_model, inf_vars, schedule, jax.random.PRNGKey(s),
+            n_sample=args.bench_batch, size=64, params=bench_params,
+            guide_w=args.guide_w, measure_timing=False,
+        ))
+        add_row(f"DDPM {T} (reference math)", T, tp_ddpm, pk_ddpm)
+        print(f"DDPM-{T}: {tp_ddpm:.1f} maps/min", flush=True)
 
-    # Noise floor: an INDEPENDENT full-step DDPM run (different sampling
-    # noise, different x_init).  Its deviation from seed A is pure estimator
-    # noise — the resolution limit of this whole table.
-    print("noise-floor: second independent DDPM run...", flush=True)
+        # Noise floor: an INDEPENDENT full-step DDPM run (different sampling
+        # noise, different x_init).  Its deviation from seed A is pure
+        # estimator noise — the resolution limit of this whole table.
+        print("noise-floor: second independent DDPM run...", flush=True)
 
-    def ddpm_slice_b(seed_base):
-        return lambda x0, pp, si: sample_ddpm(
-            inf_model, inf_vars, schedule, jax.random.PRNGKey(seed_base + si),
-            n_sample=x0.shape[0], size=64, params=pp, guide_w=args.guide_w,
-            measure_timing=False,
-        ).x
+        def ddpm_slice_b(seed_base):
+            return lambda x0, pp, si: sample_ddpm(
+                inf_model, inf_vars, schedule,
+                jax.random.PRNGKey(seed_base + si),
+                n_sample=x0.shape[0], size=64, params=pp,
+                guide_w=args.guide_w, measure_timing=False,
+            ).x
 
-    _, pk_ddpm_b = gen_mean_pk(ddpm_slice_b(7000), f"DDPM-{T} seed B")
-    floor = add_row(
-        f"DDPM {T}, independent seed", T, tp_ddpm, pk_ddpm_b,
-        note="estimator noise floor",
-    )
+        _, pk_ddpm_b = gen_mean_pk(ddpm_slice_b(7000), f"DDPM-{T} seed B")
+        floor = add_row(
+            f"DDPM {T}, independent seed", T, tp_ddpm, pk_ddpm_b,
+            note="estimator noise floor",
+        )
 
     # "strided DDPM" = the reference chain's own (beta-variance) update with
     # composite-alpha jumps — the only family that converges to the
