@@ -137,7 +137,20 @@ def generate_comparison_plot(
             model, variables, schedule, key, n_sample=n_maps, size=height,
             params=jnp.asarray(sel), guide_w=0.0,
         )
-    hicdm_maps = np.asarray(out.x)[..., 0]
+    x = out.x
+    # CAMELS_CALIBRATION=<calib.npz>: opt-in spectral calibration of the
+    # fast path — a fixed radial Fourier filter fitted offline against the
+    # exact-chain reference (diffusion/calibration.py, SPEEDUP.md).
+    calib_path = os.environ.get("CAMELS_CALIBRATION")
+    if calib_path:
+        from ..diffusion.calibration import (
+            SpectralCalibration,
+            apply_spectral_calibration,
+        )
+
+        print(f"  (spectral calibration: {calib_path})")
+        x = apply_spectral_calibration(x, SpectralCalibration.load(calib_path))
+    hicdm_maps = np.asarray(x)[..., 0]
 
     print("Calculating power spectra...")
     k, camels_pk = calculate_power_spectrum_2d_batch(camels_maps)

@@ -7,6 +7,11 @@ from .schedule import (
 )
 from .sampler import sample_ddpm, sample_ddpm_from_noise, SamplerOutput
 from .likelihood import calculate_elbo_and_bpd, calculate_likelihood, elbo_per_batch
+from .calibration import (
+    SpectralCalibration,
+    apply_spectral_calibration,
+    fit_spectral_transfer,
+)
 
 __all__ = [
     "DDPMSchedule",
@@ -20,4 +25,7 @@ __all__ = [
     "calculate_elbo_and_bpd",
     "calculate_likelihood",
     "elbo_per_batch",
+    "SpectralCalibration",
+    "apply_spectral_calibration",
+    "fit_spectral_transfer",
 ]

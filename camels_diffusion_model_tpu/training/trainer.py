@@ -82,6 +82,7 @@ def make_train_step(
     beta1: float = 1e-4,
     beta2: float = 0.02,
     donate: bool = False,
+    remat: bool = False,
 ):
     """Build the jitted train step.
 
@@ -107,6 +108,13 @@ def make_train_step(
     any caller-held aliases of the initial variables (the arrays passed to
     ``create_train_state``) — a surprising default for library users who
     re-step from a kept state.
+
+    ``remat=True`` wraps the forward in ``jax.checkpoint`` (save nothing,
+    recompute during backward).  The measured train step is HBM-bound, not
+    FLOP-bound (arithmetic intensity ~109 F/B vs the ~240 F/B v5e ridge,
+    scripts/flop_audit.py --train): trading ~1 extra forward of FLOPs for
+    not streaming saved activations can RAISE throughput on TPU.  A/B via
+    ``flop_audit --train --measure --remat``; math is identical either way.
     """
 
     from ..diffusion.schedule import make_schedule
@@ -120,18 +128,26 @@ def make_train_step(
         t = jax.random.randint(tkey, (b,), 1, timesteps + 1)
         noise = jax.random.normal(nkey, x.shape, x.dtype)
 
-        def loss_fn(params):
+        def forward(params, x_pert, t_norm, c, skey):
             variables = {"params": params, "batch_stats": state.batch_stats}
-            ab = alpha_bar[t][:, None, None, None]
-            x_pert = jnp.sqrt(ab) * x + _noise_coeff(ab, scaling) * noise
-            out, mutated = model.apply(
+            return model.apply(
                 variables,
                 x_pert,
-                (t / timesteps).astype(jnp.float32),
+                t_norm,
                 c,
                 train=True,
                 mutable=["batch_stats"],
                 rngs=model_rngs(model, skey),
+            )
+
+        if remat:
+            forward = jax.checkpoint(forward)
+
+        def loss_fn(params):
+            ab = alpha_bar[t][:, None, None, None]
+            x_pert = jnp.sqrt(ab) * x + _noise_coeff(ab, scaling) * noise
+            out, mutated = forward(
+                params, x_pert, (t / timesteps).astype(jnp.float32), c, skey
             )
             per_sample = jnp.mean(
                 jnp.square(out - noise), axis=tuple(range(1, out.ndim))

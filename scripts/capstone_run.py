@@ -21,6 +21,7 @@ from camels_diffusion_model_tpu.cli import run_experiment
 def main():
     out_root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/capstone"
     n_epoch = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    eval_every = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     cfg = ExperimentConfig(
         mode="paper",
         lrate=1e-5,
@@ -32,7 +33,7 @@ def main():
         data_size=256,
         output_root=out_root,
         dtype="bfloat16",
-        eval_every=4,
+        eval_every=eval_every,
     )
     res = run_experiment(cfg)
     print("epoch_times:", [round(t, 1) for t in res["epoch_times"]])

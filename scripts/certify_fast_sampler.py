@@ -81,6 +81,9 @@ def main():
     ap.add_argument("--ref-from", default=None,
                     help="path to a prior certification.json to reuse the "
                          "DDPM reference and floor rows from")
+    # Calibrated strided rows, out-of-sample validation of a fitted
+    # spectral calibration (scripts/fit_calibration.py): "steps:calib.npz"
+    ap.add_argument("--calibrated", nargs="*", default=[])
     args = ap.parse_args()
     os.makedirs(args.outdir, exist_ok=True)
 
@@ -403,6 +406,54 @@ def main():
         ))
         add_row(label, len(taus_h), tp, pk, note=f"eta=1, {spec}")
         print(f"  {tp:.1f} maps/min", flush=True)
+
+    # Calibrated rows: strided DDPM + the fixed radial spectral-calibration
+    # filter (diffusion/calibration.py), validated OUT-OF-SAMPLE — fresh
+    # sampler noise seeds (5000+...), not the seeds the calibration was
+    # fitted from — against the same reference protocol.  Spec: "steps:npz".
+    if args.calibrated:
+        import types
+
+        from camels_diffusion_model_tpu.diffusion.calibration import (
+            SpectralCalibration,
+            apply_spectral_calibration,
+        )
+
+        for spec in args.calibrated:
+            steps_s, _, calib_path = spec.partition(":")
+            c_steps = int(steps_s)
+            calib = SpectralCalibration.load(calib_path)
+            label = f"strided DDPM {c_steps} + spectral calibration"
+            print(f"{label}...", flush=True)
+
+            def calib_slice(x0, pp, si, c_steps=c_steps, calib=calib):
+                maps = sample_ddim(
+                    inf_model, inf_vars, schedule,
+                    jax.random.PRNGKey(5000 + c_steps + si),
+                    n_sample=x0.shape[0], size=64, params=pp,
+                    guide_w=args.guide_w, n_steps=c_steps, eta=1.0,
+                    x_init=x0, sigma_mode="beta",
+                ).x
+                return apply_spectral_calibration(maps, calib)
+
+            _, pk = gen_mean_pk(calib_slice, label)
+
+            def calib_bench(s, c_steps=c_steps, calib=calib):
+                out = sample_ddim(
+                    inf_model, inf_vars, schedule, jax.random.PRNGKey(s),
+                    n_sample=args.bench_batch, size=64, params=bench_params,
+                    guide_w=args.guide_w, n_steps=c_steps, eta=1.0,
+                    sigma_mode="beta",
+                )
+                return types.SimpleNamespace(
+                    x=apply_spectral_calibration(out.x, calib)
+                )
+
+            tp = throughput(calib_bench)
+            add_row(label, c_steps, tp, pk,
+                    note=f"calibration {os.path.basename(calib_path)}, "
+                         f"fresh-seed validation")
+            print(f"  {tp:.1f} maps/min", flush=True)
 
     # ---- report -------------------------------------------------------------
     md = [

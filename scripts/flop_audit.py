@@ -127,7 +127,7 @@ def xla_cost_check(batch=8):
 
 
 def train_step_audit(batch, timesteps, measure=False, scaling="reference",
-                     n_timed_steps=20):
+                     n_timed_steps=20, remat=False):
     """Speed-of-light audit of ONE jitted training step (fwd + bwd + Adam).
 
     Analytic floor: a conv's backward costs ~2x its forward (grad-input +
@@ -156,7 +156,8 @@ def train_step_audit(batch, timesteps, measure=False, scaling="reference",
         np.array([0.5], np.float32),
     )
     state = create_train_state(model, variables, 1e-4, 100, 422)
-    step = make_train_step(model, timesteps, scaling=scaling, donate=True)
+    step = make_train_step(model, timesteps, scaling=scaling, donate=True,
+                           remat=remat)
 
     rs = np.random.RandomState(0)
     x_np = rs.rand(batch, 64, 64, 1).astype(np.float32)
@@ -222,6 +223,9 @@ def main():
                     help="also time the train step on the device")
     ap.add_argument("--scaling", choices=["reference", "standard"],
                     default="reference")
+    # jax.checkpoint the forward (recompute in backward): trades FLOPs for
+    # HBM traffic — the winning direction when the step is memory-bound.
+    ap.add_argument("--remat", action="store_true")
     args = ap.parse_args()
 
     if args.train:
@@ -306,7 +310,7 @@ def train_main(args):
     results = []
     for b in args.train_batches:
         r = train_step_audit(b, args.timesteps, measure=args.measure,
-                             scaling=args.scaling)
+                             scaling=args.scaling, remat=args.remat)
         gf_img = r["xla_train_step_gf_per_img"]
         r["analytic_gf_per_img"] = analytic_step / 1e9
         r["sol_imgs_per_sec"] = peak_tf * 1e12 / (gf_img * 1e9)
