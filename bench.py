@@ -31,6 +31,7 @@ def bench_train():
     import jax
     import jax.numpy as jnp
 
+    from camels_diffusion_model_tpu.data.prefetch import device_prefetch
     from camels_diffusion_model_tpu.models import ContextUnet
     from camels_diffusion_model_tpu.training import (
         create_train_state,
@@ -51,17 +52,29 @@ def bench_train():
     )
     state = create_train_state(model, variables, 1e-5, 100, 422)
     step = make_train_step(model, 1500, donate=True)
-    x = np.random.RandomState(0).rand(batch, 64, 64, 1).astype(np.float32)
-    c = np.random.RandomState(1).rand(batch, 6).astype(np.float32)
+    # Epoch-like conditions: a DIFFERENT host batch each step (reusing one
+    # array would hide the host->device input cost — 24% of the batch-32
+    # step time, ARCHITECTURE.md audit).  BENCH_PREFETCH=0 disables the
+    # background-thread device staging (data/prefetch.py) for A/B.
+    use_prefetch = os.environ.get("BENCH_PREFETCH", "1") == "1"
+    n_iter = 30 if on_accel else 3
+    rs = np.random.RandomState(0)
+    batches = [
+        (
+            rs.rand(batch, 64, 64, 1).astype(np.float32),
+            rs.rand(batch, 6).astype(np.float32),
+        )
+        for _ in range(n_iter + 1)
+    ]
     key = jax.random.PRNGKey(0)
     key, k = jax.random.split(key)
-    state, m = step(state, x, c, k)
+    state, m = step(state, *batches[0], k)
     _ = float(m["loss"])
-    n_iter = 30 if on_accel else 3
     t0 = _time.time()
-    for _i in range(n_iter):
+    it = device_prefetch(batches[1:]) if use_prefetch else iter(batches[1:])
+    for bx, bc in it:
         key, k = jax.random.split(key)
-        state, m = step(state, x, c, k)
+        state, m = step(state, bx, bc, k)
     _ = float(m["loss"])
     dt = _time.time() - t0
     imgs_per_sec = n_iter * batch / dt
@@ -74,6 +87,7 @@ def bench_train():
                 "vs_baseline": round(imgs_per_sec / 254.0, 3),
                 "batch": batch,
                 "platform": platform,
+                "prefetch": use_prefetch,
             }
         )
     )

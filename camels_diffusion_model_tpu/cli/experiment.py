@@ -36,6 +36,7 @@ import numpy as np
 from ..config import ExperimentConfig
 from ..data import batch_iterator, load_camels_dataset, synthetic_camels
 from ..data.pipeline import num_batches
+from ..data.prefetch import device_prefetch
 from ..diffusion import (
     calculate_elbo_and_bpd,
     calculate_likelihood,
@@ -264,6 +265,14 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
                 bx, bc = shard_batch(mesh, bx, bc)
             else:
                 bx, bc, mask = shard_batch(mesh, bx, bc, mask)
+        else:
+            # Commit host arrays here so the prefetch worker thread overlaps
+            # the host->device copy with the previous step's compute (the
+            # copy is 24% of the batch-32 step over a tunneled runtime,
+            # ARCHITECTURE.md "Training-step speed-of-light audit").
+            bx, bc = jax.device_put(bx), jax.device_put(bc)
+            if mask is not None:
+                mask = jax.device_put(mask)
         return bx, bc, mask
 
     start_epoch = 0
@@ -319,16 +328,18 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
         epoch_elbo = 0.0
         epoch_bpd = 0.0
         n_b = 0
+        # Batches are padded/sharded/device-committed on a background thread,
+        # two ahead of the consuming step (data/prefetch.py).
+        staged = device_prefetch(
+            batch_iterator(ds.train_x, train_c, cfg.batch_size, rng=epoch_rng),
+            transform=lambda item: pad_and_shard(*item),
+        )
         try:
             from tqdm import tqdm
 
-            pbar = tqdm(
-                batch_iterator(ds.train_x, train_c, cfg.batch_size, rng=epoch_rng),
-                total=steps_per_epoch,
-                mininterval=2,
-            )
+            pbar = tqdm(staged, total=steps_per_epoch, mininterval=2)
         except ImportError:
-            pbar = batch_iterator(ds.train_x, train_c, cfg.batch_size, rng=epoch_rng)
+            pbar = staged
         # Loss (and per-batch ELBO) accumulate ON DEVICE via one jitted call
         # per step; one host sync per epoch.  The reference syncs every step
         # (`loss.item()`, paper.py:366) which serializes host and device, and
@@ -336,9 +347,8 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
         loss_acc = jnp.zeros((), jnp.float32)
         elbo_acc = jnp.zeros((), jnp.float32)
         last_desc = 0.0
-        for bx, bc in pbar:
+        for bx, bc, bmask in pbar:
             train_key, step_key = jax.random.split(train_key)
-            bx, bc, bmask = pad_and_shard(bx, bc)
             state, metrics = train_step(state, bx, bc, step_key, bmask)
             loss_acc, elbo_acc = _accumulate_metrics(
                 schedule.beta, schedule.alpha_bar, loss_acc, elbo_acc,
