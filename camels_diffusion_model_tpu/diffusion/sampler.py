@@ -255,6 +255,7 @@ def sample_ddpm(
     x_init: Optional[jax.Array] = None,
     dtype=jnp.float32,
     mesh=None,
+    spatial: bool = False,
     measure_timing: bool = True,
 ) -> SamplerOutput:
     """Generate samples by ancestral DDPM sampling from pure noise.
@@ -264,6 +265,9 @@ def sample_ddpm(
 
     ``mesh``: optional ``jax.sharding.Mesh`` — the batch axis is sharded
     across its data axis (embarrassingly parallel sampling sweeps over ICI).
+    ``spatial=True`` (with a 2-D data x space mesh) additionally shards the
+    image height axis — model parallelism for resolutions past one chip's
+    HBM; XLA inserts the conv halo exchanges automatically.
 
     ``measure_timing=False`` (serving fast path) skips the per-chunk host
     barrier: all device chunks dispatch back-to-back (the donated carries
@@ -280,7 +284,7 @@ def sample_ddpm(
         params = jax.random.uniform(pkey, (n_sample, model.n_cfeat), jnp.float32)
     return _run(
         model, variables, schedule, rng, x_init, params, guide_w, save_rate,
-        mesh=mesh, measure_timing=measure_timing,
+        mesh=mesh, spatial=spatial, measure_timing=measure_timing,
     )
 
 
@@ -335,6 +339,7 @@ def _run(
     save_rate,
     steps_per_call: Optional[int] = None,
     mesh=None,
+    spatial: bool = False,
     measure_timing: bool = True,
 ):
     timesteps = schedule.timesteps
@@ -367,30 +372,46 @@ def _run(
     params = jnp.asarray(params)
     if mesh is not None:
         # Shard the batch over the mesh's data axis (pad to an even shard).
+        # With ``spatial=True`` on a 2-D (data x space) mesh the image
+        # height axis is additionally sharded over "space" — XLA SPMD
+        # derives the conv halo exchanges and norm collectives from the
+        # sharding alone (parallel/mesh.py::make_mesh_2d).
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        n_dev = mesh.devices.size
+        if spatial and len(mesh.axis_names) < 2:
+            raise ValueError("spatial=True requires a 2-D mesh (make_mesh_2d)")
+        n_dev = mesh.devices.shape[0] if spatial else mesh.devices.size
         pad = (-n_real) % n_dev
         if pad:
             x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
             params = jnp.concatenate(
                 [params, jnp.zeros((pad,) + params.shape[1:], params.dtype)]
             )
+        if spatial:
+            xspec = lambda ndim: NamedSharding(
+                mesh,
+                P(mesh.axis_names[0], mesh.axis_names[1],
+                  *([None] * (ndim - 2))),
+            )
+        else:
+            xspec = lambda ndim: NamedSharding(
+                mesh, P(mesh.axis_names[0], *([None] * (ndim - 1)))
+            )
         bspec = lambda ndim: NamedSharding(
             mesh, P(mesh.axis_names[0], *([None] * (ndim - 1)))
         )
-        x = jax.device_put(x, bspec(x.ndim))
+        x = jax.device_put(x, xspec(x.ndim))
         params = jax.device_put(params, bspec(params.ndim))
     buf = jnp.zeros((n_saves + 1,) + x.shape, x.dtype)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        buf = jax.device_put(
-            buf,
-            NamedSharding(
-                mesh, P(None, mesh.axis_names[0], *([None] * (x.ndim - 1)))
-            ),
-        )
+        if spatial:
+            buf_spec = P(None, mesh.axis_names[0], mesh.axis_names[1],
+                         *([None] * (x.ndim - 2)))
+        else:
+            buf_spec = P(None, mesh.axis_names[0], *([None] * (x.ndim - 1)))
+        buf = jax.device_put(buf, NamedSharding(mesh, buf_spec))
     key = rng
     w = jnp.asarray(guide_w, jnp.float32)
     if mesh is not None and w.ndim > 0:

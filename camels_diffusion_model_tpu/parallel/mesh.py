@@ -83,6 +83,56 @@ def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     return NamedSharding(mesh, spec)
 
 
+def make_mesh_2d(
+    n_data: int,
+    n_space: int,
+    axis_names: tuple = ("data", "space"),
+) -> Mesh:
+    """A 2-D (data x space) mesh for batch + spatial model parallelism.
+
+    The growth path for maps whose activations exceed one chip's HBM
+    (SURVEY §5: the reference "scales" resolution only by editing the model
+    — initial.py:16-75 / main.py:15-85 hard-code 128x128 variants; it has
+    no model parallelism of any kind).  NHWC activations are sharded
+    (batch over ``data``, image height over ``space``); XLA's SPMD
+    partitioner inserts the halo exchanges for the conv windows, the
+    cross-shard reductions for GroupNorm/BatchNorm statistics and the
+    bottleneck global pooling, all over ICI — no hand-written collectives.
+    """
+    devices = jax.devices()
+    need = n_data * n_space
+    if need > len(devices):
+        raise ValueError(
+            f"requested {n_data}x{n_space} mesh but only "
+            f"{len(devices)} devices present"
+        )
+    return Mesh(
+        np.array(devices[:need]).reshape(n_data, n_space), axis_names
+    )
+
+
+def spatial_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """NHWC activation sharding on a 2-D mesh: batch over the data axis,
+    image height (axis 1) over the space axis."""
+    if len(mesh.axis_names) < 2:
+        raise ValueError("spatial_sharding needs a 2-D mesh (make_mesh_2d)")
+    spec = P(
+        mesh.axis_names[0], mesh.axis_names[1], *([None] * (ndim - 2))
+    )
+    return NamedSharding(mesh, spec)
+
+
+def shard_batch_spatial(mesh: Mesh, x, *rest):
+    """device_put an NHWC batch with (data, space) sharding; any remaining
+    arrays (conditioning vectors, masks) are leading-axis data-sharded and
+    replicated over the space axis."""
+    xs = jax.device_put(x, spatial_sharding(mesh, np.ndim(x)))
+    others = tuple(
+        jax.device_put(a, batch_sharding(mesh, np.ndim(a))) for a in rest
+    )
+    return (xs, *others) if others else xs
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

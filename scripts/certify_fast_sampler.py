@@ -186,9 +186,26 @@ def main():
         ds.test_c, (n_eval // ds.test_c.shape[0] + 1, 1)
     )[:n_eval]
 
+    # Per-config P(k) results are cached to disk as they complete so a
+    # crashed sweep (tunneled-TPU infrastructure faults are a fact of life)
+    # resumes without regenerating finished configs.
+    pk_cache_dir = os.path.join(args.outdir, "pk_cache")
+    os.makedirs(pk_cache_dir, exist_ok=True)
+
+    def _pk_cache_path(label):
+        slug = "".join(c if c.isalnum() else "_" for c in label)
+        return os.path.join(pk_cache_dir, f"{slug}.npz")
+
     def gen_mean_pk(sample_slice, label):
         """sample_slice(x0, params, slice_seed) -> (B, 64, 64, 1) maps; same
         per-slice x_init for every config (shared PRNGKey(100+si))."""
+        cache_path = _pk_cache_path(label)
+        if os.path.exists(cache_path):
+            c = np.load(cache_path)
+            if (int(c["n_eval"]) == n_eval
+                    and float(c["guide_w"]) == args.guide_w):
+                print(f"  {label}: cached ({cache_path})", flush=True)
+                return c["k"], c["pk"]
         t0 = time.time()
         acc = None
         k_out = None
@@ -206,7 +223,10 @@ def main():
             acc = pk.sum(axis=0) if acc is None else acc + pk.sum(axis=0)
         print(f"  {label}: {n_eval} maps in {time.time() - t0:.1f}s",
               flush=True)
-        return np.asarray(k_out), acc / n_eval
+        k_out, mean_pk = np.asarray(k_out), acc / n_eval
+        np.savez(cache_path, k=k_out, pk=mean_pk, n_eval=n_eval,
+                 guide_w=args.guide_w)
+        return k_out, mean_pk
 
     def ddpm_slice(seed_base):
         return lambda x0, pp, si: sample_ddpm(
