@@ -59,6 +59,20 @@ _USE_PALLAS_STEP = _os.environ.get("CAMELS_PALLAS_STEP", "0") == "1"
 DEFAULT_STEPS_PER_CALL = int(_os.environ.get("CAMELS_SAMPLER_CHUNK", "250"))
 
 
+def _pregen_noise_enabled() -> bool:
+    """Opt-in: draw the ancestral noise for a whole device chunk as ONE
+    batched normal() before the scan instead of one threefry call per step
+    inside it (CAMELS_PREGEN_NOISE=1).
+
+    The key chain is replayed exactly (a cheap keys-only scan), so the
+    noise streams — and therefore the sampler output — are bit-identical
+    to the default path (tested).  Costs chunk x state_size HBM (~0.5 GB
+    at batch 128 / chunk 250); moves the threefry hashing out of the
+    scan's serial critical path into one large fused kernel.
+    """
+    return _os.environ.get("CAMELS_PREGEN_NOISE", "0") == "1"
+
+
 class SamplerOutput(NamedTuple):
     x: jax.Array  # final samples, (B, H, W, C)
     intermediate: jax.Array  # saved states, (n_saves, B, H, W, C)
@@ -157,7 +171,7 @@ def _supports_film(model) -> bool:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "use_cfg", "use_film", "timesteps"),
+    static_argnames=("model", "use_cfg", "use_film", "timesteps", "pregen"),
     donate_argnums=(5, 6),  # x, buf — carried across chunk calls in-place
 )
 def _sample_scan_chunk(
@@ -181,6 +195,7 @@ def _sample_scan_chunk(
     use_cfg: bool,
     use_film: bool,
     timesteps: int,
+    pregen: bool = False,
 ):
     """Scan over one contiguous chunk of the reversed step sequence.
 
@@ -197,12 +212,34 @@ def _sample_scan_chunk(
         timesteps=timesteps,
     )
 
+    if pregen:
+        # Replay the per-step key chain OUTSIDE the scan (keys-only scan,
+        # ~free), then draw every step's z in one batched normal() — the
+        # same streams, hashed as one large fused kernel instead of T
+        # small ones on the scan's serial path (_pregen_noise_enabled).
+        def _chain(k, _):
+            k, zkey, skey = jax.random.split(k, 3)
+            return k, (zkey, skey)
+
+        key_out, (zkeys, skeys) = jax.lax.scan(
+            _chain, rng, None, length=steps.shape[0]
+        )
+        zs = jax.vmap(
+            lambda k: jax.random.normal(k, x.shape, x.dtype)
+        )(zkeys)
+        zs = jnp.where(
+            steps.reshape((-1,) + (1,) * x.ndim) > 1, zs, jnp.zeros_like(zs)
+        )
+
     def body(carry, xs):
         x, buffer, key = carry
-        i, slot = xs
-        key, zkey, skey = jax.random.split(key, 3)
-        z = jax.random.normal(zkey, x.shape, x.dtype)
-        z = jnp.where(i > 1, z, jnp.zeros_like(z))
+        if pregen:
+            i, slot, z, skey = xs
+        else:
+            i, slot = xs
+            key, zkey, skey = jax.random.split(key, 3)
+            z = jax.random.normal(zkey, x.shape, x.dtype)
+            z = jnp.where(i > 1, z, jnp.zeros_like(z))
         if use_film:
             eps = _predict_eps_film(
                 model, variables, x,
@@ -238,6 +275,11 @@ def _sample_scan_chunk(
         )
         return (x, buffer, key), None
 
+    if pregen:
+        (x, buf, _), _ = jax.lax.scan(
+            body, (x, buf, rng), (steps, write_slots, zs, skeys)
+        )
+        return x, buf, key_out
     (x, buf, key), _ = jax.lax.scan(body, (x, buf, rng), (steps, write_slots))
     return x, buf, key
 
@@ -463,6 +505,7 @@ def _run(
             use_cfg=use_cfg,
             use_film=use_film,
             timesteps=timesteps,
+            pregen=_pregen_noise_enabled(),
         )
         # Real per-chunk timing (the reference reports measured per-step wall
         # times, train_diffusion_paper.py:613-621; here each device chunk is

@@ -231,3 +231,42 @@ def test_per_chunk_timing_is_real(tiny_model_and_vars):
     assert out.timestep_times.shape == (12,)
     assert np.all(out.timestep_times > 0)
     assert np.sum(out.timestep_times) <= out.sampling_time + 1e-6
+
+
+def test_pregen_noise_matches_default(tiny_model_and_vars, monkeypatch):
+    """CAMELS_PREGEN_NOISE=1 (batched chunk noise draw outside the scan,
+    sampler.py::_pregen_noise_enabled) replays the exact per-step key chain:
+    the noise STREAMS are bit-identical (the key chain is a replay), so the
+    trajectories agree to fp32 rounding (different XLA fusion schedules
+    reorder the elementwise update by ~1 ulp), including chunked multi-call
+    runs and the t==1 z=0 rule."""
+    model, variables = tiny_model_and_vars
+    sched = make_schedule(12)
+    params = np.random.RandomState(3).rand(2, 3).astype(np.float32)
+
+    def run():
+        return sample_ddpm(
+            model, variables, sched, jax.random.PRNGKey(4), n_sample=2,
+            size=16, params=params, guide_w=2.0, save_rate=3,
+        )
+
+    monkeypatch.delenv("CAMELS_PREGEN_NOISE", raising=False)
+    base = run()
+    # chunked: 12 steps in 5-step device calls exercises the cross-chunk
+    # key handoff (key_out must match the default carry chain)
+    monkeypatch.setenv("CAMELS_SAMPLER_CHUNK", "5")
+    import camels_diffusion_model_tpu.diffusion.sampler as samp_mod
+
+    monkeypatch.setattr(samp_mod, "DEFAULT_STEPS_PER_CALL", 5)
+    base_chunked = run()
+    np.testing.assert_array_equal(np.asarray(base_chunked.x), np.asarray(base.x))
+
+    monkeypatch.setenv("CAMELS_PREGEN_NOISE", "1")
+    fast = run()
+    np.testing.assert_allclose(
+        np.asarray(fast.x), np.asarray(base.x), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast.intermediate), np.asarray(base.intermediate),
+        rtol=1e-5, atol=1e-5,
+    )
