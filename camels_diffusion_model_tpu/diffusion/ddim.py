@@ -28,6 +28,7 @@ import numpy as np
 
 from .sampler import (
     DEFAULT_STEPS_PER_CALL,
+    _SCAN_UNROLL,
     SamplerOutput,
     _film_tables,
     _predict_eps_film,
@@ -115,7 +116,9 @@ def _ddim_scan(
             x = jnp.sqrt(ab_prev) * x0_hat + dir_x + sigma * z
         return (x, key), None
 
-    (x, key), _ = jax.lax.scan(body, (x, rng), (taus, taus_prev))
+    (x, key), _ = jax.lax.scan(
+        body, (x, rng), (taus, taus_prev), unroll=_SCAN_UNROLL
+    )
     return x, key
 
 

@@ -59,6 +59,14 @@ _USE_PALLAS_STEP = _os.environ.get("CAMELS_PALLAS_STEP", "0") == "1"
 DEFAULT_STEPS_PER_CALL = int(_os.environ.get("CAMELS_SAMPLER_CHUNK", "250"))
 
 
+# Scan unroll factor for the sampler body (CAMELS_SCAN_UNROLL=k): XLA
+# replicates the body k times per loop iteration, amortizing loop/dispatch
+# overhead across steps.  1 (default) = no unrolling; the chunk length must
+# stay divisible-friendly (lax.scan handles remainders itself).  A/B knob
+# for scripts/sampler_residue.py-guided tuning.
+_SCAN_UNROLL = int(_os.environ.get("CAMELS_SCAN_UNROLL", "1"))
+
+
 def _pregen_noise_enabled() -> bool:
     """Opt-in: draw the ancestral noise for a whole device chunk as ONE
     batched normal() before the scan instead of one threefry call per step
@@ -277,10 +285,13 @@ def _sample_scan_chunk(
 
     if pregen:
         (x, buf, _), _ = jax.lax.scan(
-            body, (x, buf, rng), (steps, write_slots, zs, skeys)
+            body, (x, buf, rng), (steps, write_slots, zs, skeys),
+            unroll=_SCAN_UNROLL,
         )
         return x, buf, key_out
-    (x, buf, key), _ = jax.lax.scan(body, (x, buf, rng), (steps, write_slots))
+    (x, buf, key), _ = jax.lax.scan(
+        body, (x, buf, rng), (steps, write_slots), unroll=_SCAN_UNROLL
+    )
     return x, buf, key
 
 
