@@ -88,6 +88,11 @@ def main():
     os.makedirs(args.outdir, exist_ok=True)
 
     import jax
+
+    # CPU smoke runs (the axon TPU plugin ignores the JAX_PLATFORMS env
+    # var; only the config API works — CLAUDE.md).
+    if os.environ.get("CAMELS_FORCE_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from camels_diffusion_model_tpu.data import (

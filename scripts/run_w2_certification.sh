@@ -12,16 +12,22 @@
 #          the committed w=0 round, artifacts/certification_r3/).
 #
 # Usage: scripts/run_w2_certification.sh   (~2.5 h on one v5e chip)
+# Env overrides (CPU smoke: W2_SWEEP=/tmp/w2smoke W2_VAL=/tmp/w2smoke_val
+#   W2_EVAL_MAPS=8 W2_TIMESTEPS=30 W2_STEPS="10 20"
+#   W2_EXTRA="--param-sets 4 --bench-batch 4"):
 set -uo pipefail
 cd "$(dirname "$0")/.."
-SWEEP=/tmp/cert_r3_w2
-VAL=/tmp/cert_r3_w2_val
-STEPS="440 500 560 620 680 750 900"   # 750/900 map the valley floor even
-                                      # though they sit under 500 maps/min
+SWEEP=${W2_SWEEP:-/tmp/cert_r3_w2}
+VAL=${W2_VAL:-/tmp/cert_r3_w2_val}
+EVAL_MAPS=${W2_EVAL_MAPS:-4096}
+T=${W2_TIMESTEPS:-1500}
+EXTRA=${W2_EXTRA:-}
+STEPS=${W2_STEPS:-"440 500 560 620 680 750 900"}  # 750/900 map the valley
+                                      # floor even under 500 maps/min
 
 python scripts/certify_fast_sampler.py "$SWEEP" 300 --skip-train \
-  --guide-w 2 --eval-maps 4096 --families strided \
-  --ddim-steps $STEPS --hybrid --dpm-steps \
+  --guide-w 2 --eval-maps "$EVAL_MAPS" --timesteps "$T" --families strided \
+  --ddim-steps $STEPS --hybrid --dpm-steps $EXTRA \
   2>&1 | tee /tmp/cert_w2_stageA.log
 test -f "$SWEEP/certification.json" || { echo "stage A failed"; exit 1; }
 
@@ -34,8 +40,8 @@ for s in $STEPS; do
 done
 
 python scripts/certify_fast_sampler.py "$VAL" 300 --skip-train \
-  --guide-w 2 --eval-maps 4096 --families strided \
-  --ddim-steps --hybrid --dpm-steps \
+  --guide-w 2 --eval-maps "$EVAL_MAPS" --timesteps "$T" --families strided \
+  --ddim-steps --hybrid --dpm-steps $EXTRA \
   --ref-from "$SWEEP/certification.json" --calibrated $SPECS \
   2>&1 | tee /tmp/cert_w2_stageB.log
 
