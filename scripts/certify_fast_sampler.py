@@ -148,6 +148,14 @@ def main():
     if os.path.exists(ckpt_path):
         state, start_epoch, train_key = load_train_checkpoint(state, ckpt_path)
         print(f"resumed from epoch {start_epoch}", flush=True)
+    elif args.skip_train:
+        # Certifying fresh random weights is meaningless and, worse, looks
+        # plausible in the output tables.  Refuse.
+        raise SystemExit(
+            f"--skip-train but no checkpoint at {ckpt_path}; train first "
+            "(run without --skip-train) or copy train_state.msgpack into "
+            "the outdir"
+        )
 
     if not args.skip_train and start_epoch < args.epochs:
         step = make_train_step(model, T, scaling=args.scaling, donate=True)

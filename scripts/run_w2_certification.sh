@@ -21,11 +21,16 @@ SWEEP=${W2_SWEEP:-/tmp/cert_r3_w2}
 VAL=${W2_VAL:-/tmp/cert_r3_w2_val}
 EVAL_MAPS=${W2_EVAL_MAPS:-4096}
 T=${W2_TIMESTEPS:-1500}
-EXTRA=${W2_EXTRA:-}
+EPOCHS=${W2_EPOCHS:-300}
+# Reference scale by default (13,500 train / 1,500 test — the committed
+# w=0 round's protocol, artifacts/certification_r3/train_300epoch.log).
+EXTRA=${W2_EXTRA:---param-sets 1000}
 STEPS=${W2_STEPS:-"440 500 560 620 680 750 900"}  # 750/900 map the valley
                                       # floor even under 500 maps/min
 
-python scripts/certify_fast_sampler.py "$SWEEP" 300 --skip-train \
+# Stage A trains the reference-scale checkpoint if $SWEEP doesn't already
+# hold one (resumable: checkpoints every 10 epochs), then sweeps.
+python scripts/certify_fast_sampler.py "$SWEEP" "$EPOCHS" \
   --guide-w 2 --eval-maps "$EVAL_MAPS" --timesteps "$T" --families strided \
   --ddim-steps $STEPS --hybrid --dpm-steps $EXTRA \
   2>&1 | tee /tmp/cert_w2_stageA.log
@@ -39,7 +44,12 @@ for s in $STEPS; do
   SPECS="$SPECS $s:/tmp/calib_w2_$s.npz"
 done
 
-python scripts/certify_fast_sampler.py "$VAL" 300 --skip-train \
+# Stage B shares stage A's checkpoint (certify looks it up in its outdir;
+# a missing checkpoint under --skip-train is a hard error, never random
+# weights).
+mkdir -p "$VAL"
+cp -f "$SWEEP/train_state.msgpack" "$VAL/train_state.msgpack"
+python scripts/certify_fast_sampler.py "$VAL" "$EPOCHS" --skip-train \
   --guide-w 2 --eval-maps "$EVAL_MAPS" --timesteps "$T" --families strided \
   --ddim-steps --hybrid --dpm-steps $EXTRA \
   --ref-from "$SWEEP/certification.json" --calibrated $SPECS \
