@@ -25,6 +25,7 @@ EPOCHS=${W2_EPOCHS:-300}
 # Reference scale by default (13,500 train / 1,500 test — the committed
 # w=0 round's protocol, artifacts/certification_r3/train_300epoch.log).
 EXTRA=${W2_EXTRA:---param-sets 1000}
+CALIB=${W2_CALIB_DIR:-/tmp}
 STEPS=${W2_STEPS:-"440 500 560 620 680 750 900"}  # 750/900 map the valley
                                       # floor even under 500 maps/min
 
@@ -39,9 +40,9 @@ test -f "$SWEEP/certification.json" || { echo "stage A failed"; exit 1; }
 SPECS=""
 for s in $STEPS; do
   python scripts/fit_calibration.py "$SWEEP/certification.json" \
-    "strided DDPM $s" -o "/tmp/calib_w2_$s.npz" \
+    "strided DDPM $s" -o "$CALIB/calib_w2_$s.npz" \
     2>&1 | tee -a /tmp/cert_w2_fits.log
-  SPECS="$SPECS $s:/tmp/calib_w2_$s.npz"
+  SPECS="$SPECS $s:$CALIB/calib_w2_$s.npz"
 done
 
 # Stage B shares stage A's checkpoint (certify looks it up in its outdir;
