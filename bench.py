@@ -51,7 +51,11 @@ def bench_train():
         np.array([0.5], np.float32),
     )
     state = create_train_state(model, variables, 1e-5, 100, 422)
-    step = make_train_step(model, 1500, donate=True)
+    # BENCH_REMAT=convs|full: rematerialization A/B (trainer.py docstring).
+    remat = {"": False, "full": True, "convs": "convs"}[
+        os.environ.get("BENCH_REMAT", "")
+    ]
+    step = make_train_step(model, 1500, donate=True, remat=remat)
     # Epoch-like conditions: a DIFFERENT host batch each step (reusing one
     # array would hide the host->device input cost — 24% of the batch-32
     # step time, ARCHITECTURE.md audit).  BENCH_PREFETCH=0 disables the
@@ -88,6 +92,7 @@ def bench_train():
                 "batch": batch,
                 "platform": platform,
                 "prefetch": use_prefetch,
+                "remat": remat,
             }
         )
     )
@@ -95,6 +100,11 @@ def bench_train():
 
 def main():
     import jax
+
+    # CAMELS_FORCE_CPU=1: host-only smoke runs (the axon TPU plugin ignores
+    # the JAX_PLATFORMS env var; only the config API works — CLAUDE.md).
+    if os.environ.get("CAMELS_FORCE_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
 
     # BENCH_PRNG=rbg: use the TPU-native RBG PRNG for the per-step noise
     # draws instead of threefry (JAX's default).  Threefry is bitwise
@@ -154,10 +164,22 @@ def main():
     )
 
     serving_steps = int(os.environ.get("BENCH_SERVING_STEPS", 500))
+    # CAMELS_CALIBRATION=<calib.npz>: include the certified serving path's
+    # spectral-calibration filter (one rfft2 pair per map, ~1e-4 of the UNet
+    # FLOPs) inside the timed run — honest accounting of the full certified
+    # configuration (SPEEDUP.md).
+    calib = None
+    if serving_mode and os.environ.get("CAMELS_CALIBRATION"):
+        from camels_diffusion_model_tpu.diffusion.calibration import (
+            SpectralCalibration,
+            apply_spectral_calibration,
+        )
+
+        calib = SpectralCalibration.load(os.environ["CAMELS_CALIBRATION"])
 
     def run(seed):
         if serving_mode:
-            return sample_ddim(
+            out = sample_ddim(
                 model,
                 variables,
                 schedule,
@@ -169,6 +191,10 @@ def main():
                 n_steps=serving_steps,
                 sigma_mode="beta",
             )
+            x = out.x
+            if calib is not None:
+                x = apply_spectral_calibration(x, calib)
+            return x
         if ddim_mode:
             return sample_ddim(
                 model,
@@ -180,7 +206,7 @@ def main():
                 params=params,
                 guide_w=guide_w,
                 n_steps=ddim_steps,
-            )
+            ).x
         return sample_ddpm(
             model,
             variables,
@@ -193,7 +219,7 @@ def main():
             # Serving fast path: chunks dispatch back-to-back with donated
             # carries; one host sync per run instead of one per chunk.
             measure_timing=False,
-        )
+        ).x
 
     def force(x):
         # The experimental TPU tunnel platform can return early from
@@ -203,13 +229,13 @@ def main():
 
     def attempt():
         t0 = time.time()
-        force(run(0).x)
+        force(run(0))
         first = time.time() - t0
         times = []
         for seed in (1, 2, 3):
             t0 = time.time()
             out = run(seed)
-            force(out.x)
+            force(out)
             times.append(time.time() - t0)
         return first, min(times)
 
@@ -250,6 +276,7 @@ def main():
     if serving_mode:
         result["serving_steps"] = serving_steps
         result["sigma_mode"] = "beta"
+        result["calibrated"] = calib is not None
     print(json.dumps(result))
 
 

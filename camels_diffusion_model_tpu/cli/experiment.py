@@ -215,12 +215,17 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
     # Every phase (training, eval, sampling, likelihood) shares ONE diffusion
     # process: the configured schedule endpoints go to the train/eval steps
     # too, not just the runner's schedule object.
+    # CAMELS_TRAIN_REMAT=convs|full: rematerialization mode for the train
+    # step (trainer.py docstring; identical math, different memory/recompute
+    # schedule — A/B'd in ARCHITECTURE.md).  Default: XLA's residual saving.
+    remat_env = os.environ.get("CAMELS_TRAIN_REMAT", "")
     train_step = make_train_step(
         model, cfg.timesteps, scaling=spec.q_scaling,
         beta1=cfg.beta1, beta2=cfg.beta2,
         # In-place state update on device (params + Adam moments + BN stats);
         # the init-time `variables` alias is never used after state creation.
         donate=True,
+        remat={"": False, "full": True, "convs": "convs"}[remat_env],
     )
     eval_step = make_eval_step(
         model, cfg.timesteps, scaling=spec.q_scaling,

@@ -28,6 +28,24 @@ from flax import linen as nn
 Dtype = Any
 
 
+def saveable(x: jax.Array) -> jax.Array:
+    """Mark a conv/matmul output as a named checkpoint residual.
+
+    Transparent identity everywhere EXCEPT under the trainer's selective
+    rematerialization (``make_train_step(remat="convs")``), whose policy
+    ``save_only_these_names("conv_out")`` stores exactly these tensors for
+    the backward pass and recomputes everything else (BatchNorm/GroupNorm
+    statistics, activations, concats, pools — cheap VPU work).  The training
+    step is HBM-bound at the reference batch size (ARCHITECTURE.md audit:
+    94% of the bandwidth roofline, ~3 saved tensors per conv layer by
+    default), so shrinking saved-activation traffic to ~1 tensor per conv
+    trades negligible recompute FLOPs for the dominant cost.
+    """
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(x, "conv_out")
+
+
 def torch_conv_init(fan_in: int):
     """Initializers matching torch's Conv2d/Linear defaults
     (kaiming_uniform(a=sqrt(5)) == U(-1/sqrt(fan_in), 1/sqrt(fan_in)), and the
@@ -50,15 +68,17 @@ class Conv3x3(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         fan_in = x.shape[-1] * 9
-        return nn.Conv(
-            self.features,
-            kernel_size=(3, 3),
-            padding="SAME",
-            dtype=self.dtype,
-            kernel_init=torch_conv_init(fan_in),
-            bias_init=torch_conv_init(fan_in),
-            name="conv",
-        )(x)
+        return saveable(
+            nn.Conv(
+                self.features,
+                kernel_size=(3, 3),
+                padding="SAME",
+                dtype=self.dtype,
+                kernel_init=torch_conv_init(fan_in),
+                bias_init=torch_conv_init(fan_in),
+                name="conv",
+            )(x)
+        )
 
 
 class ResidualConvBlock(nn.Module):
@@ -170,15 +190,17 @@ class UnetUp(nn.Module):
         # out_channels (weight is (I, O, kh, kw)), so the init bound is
         # 1/sqrt(out_channels * kh * kw).
         fan_in = self.out_channels * 4
-        x = nn.ConvTranspose(
-            self.out_channels,
-            kernel_size=(2, 2),
-            strides=(2, 2),
-            dtype=self.dtype,
-            kernel_init=torch_conv_init(fan_in),
-            bias_init=torch_conv_init(fan_in),
-            name="upconv",
-        )(x)
+        x = saveable(
+            nn.ConvTranspose(
+                self.out_channels,
+                kernel_size=(2, 2),
+                strides=(2, 2),
+                dtype=self.dtype,
+                kernel_init=torch_conv_init(fan_in),
+                bias_init=torch_conv_init(fan_in),
+                name="upconv",
+            )(x)
+        )
         x = ResidualConvBlock(
             self.out_channels, fold_bn=self.fold_bn, dtype=self.dtype, name="block1"
         )(x, train=train)

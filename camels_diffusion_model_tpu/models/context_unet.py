@@ -36,6 +36,7 @@ from .blocks import (
     ResidualConvBlock,
     UnetDown,
     UnetUp,
+    saveable,
     torch_conv_init,
 )
 
@@ -296,7 +297,7 @@ class ContextUnet(nn.Module):
         else:
             cemb1, temb1, cemb2, temb2 = self.embed(t, c, batch)
 
-        u = self.up0_norm(self.up0_conv(enc.hiddenvec))  # GN + activation
+        u = self.up0_norm(saveable(self.up0_conv(enc.hiddenvec)))  # GN + act
 
         skips = (enc.x0,) + enc.downs  # shallowest -> deepest
         for i, blk in enumerate(self.up_blocks):
@@ -306,11 +307,11 @@ class ContextUnet(nn.Module):
                 u = cemb2 * u + temb2
             u = blk(u, skips[self.levels - i], train=train)
 
-        out = self.out_conv1(jnp.concatenate([u, enc.x0], axis=-1))
+        out = saveable(self.out_conv1(jnp.concatenate([u, enc.x0], axis=-1)))
         if self.extra_out_conv:
-            out = self.out_conv_extra(out)
+            out = saveable(self.out_conv_extra(out))
         out = self.out_norm(out)  # GN + activation
-        out = self.out_conv2(out)
+        out = saveable(self.out_conv2(out))
         if self.final_tanh:
             out = jnp.tanh(out)
         return out

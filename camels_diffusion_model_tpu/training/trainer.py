@@ -82,7 +82,7 @@ def make_train_step(
     beta1: float = 1e-4,
     beta2: float = 0.02,
     donate: bool = False,
-    remat: bool = False,
+    remat=False,
 ):
     """Build the jitted train step.
 
@@ -109,12 +109,21 @@ def make_train_step(
     ``create_train_state``) — a surprising default for library users who
     re-step from a kept state.
 
-    ``remat=True`` wraps the forward in ``jax.checkpoint`` (save nothing,
-    recompute during backward).  The measured train step is HBM-bound, not
-    FLOP-bound (arithmetic intensity ~109 F/B vs the ~240 F/B v5e ridge,
-    scripts/flop_audit.py --train): trading ~1 extra forward of FLOPs for
-    not streaming saved activations can RAISE throughput on TPU.  A/B via
-    ``flop_audit --train --measure --remat``; math is identical either way.
+    ``remat`` selects rematerialization of the forward (math is identical in
+    every mode; A/B via ``flop_audit --train --measure --remat[-convs]``):
+
+    * ``False`` — XLA's default residual saving (measured fastest at
+      batch >= 256, where the step is compute-bound);
+    * ``True`` — full ``jax.checkpoint`` (save nothing): measured LOSS at
+      every batch on v5e (ARCHITECTURE.md) — recompute traffic replaces but
+      does not shrink saved-activation traffic at these shapes; kept for
+      deeper variants whose activations exceed HBM;
+    * ``"convs"`` — selective: save ONLY conv/matmul outputs (the tensors
+      tagged ``blocks.saveable``) and recompute BatchNorm/activation
+      epilogues in the backward pass.  The batch-32 step is HBM-bound at
+      94% of the bandwidth roofline with ~3 saved tensors per conv layer;
+      this cuts that to ~1, trading cheap VPU recompute for the dominant
+      HBM cost.
     """
 
     from ..diffusion.schedule import make_schedule
@@ -140,7 +149,14 @@ def make_train_step(
                 rngs=model_rngs(model, skey),
             )
 
-        if remat:
+        if remat == "convs":
+            forward = jax.checkpoint(
+                forward,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "conv_out"
+                ),
+            )
+        elif remat:
             forward = jax.checkpoint(forward)
 
         def loss_fn(params):

@@ -225,7 +225,10 @@ def main():
                     default="reference")
     # jax.checkpoint the forward (recompute in backward): trades FLOPs for
     # HBM traffic — the winning direction when the step is memory-bound.
-    ap.add_argument("--remat", action="store_true")
+    # "full" saves nothing; "convs" saves only conv outputs and recomputes
+    # the BatchNorm/activation epilogues (trainer.py remat="convs").
+    ap.add_argument("--remat", nargs="?", const="full",
+                    choices=["full", "convs"], default=None)
     args = ap.parse_args()
 
     if args.train:
@@ -309,8 +312,10 @@ def train_main(args):
 
     results = []
     for b in args.train_batches:
-        r = train_step_audit(b, args.timesteps, measure=args.measure,
-                             scaling=args.scaling, remat=args.remat)
+        r = train_step_audit(
+            b, args.timesteps, measure=args.measure, scaling=args.scaling,
+            remat={"full": True, "convs": "convs", None: False}[args.remat],
+        )
         gf_img = r["xla_train_step_gf_per_img"]
         r["analytic_gf_per_img"] = analytic_step / 1e9
         r["sol_imgs_per_sec"] = peak_tf * 1e12 / (gf_img * 1e9)

@@ -58,14 +58,16 @@ def test_train_step_reduces_loss(setup):
 
 
 def test_remat_step_matches_plain(setup):
-    # remat=True only changes the backward-pass memory/recompute schedule
-    # (jax.checkpoint); params, batch stats, and metrics must be identical.
+    # remat only changes the backward-pass memory/recompute schedule
+    # (jax.checkpoint; "convs" = save-only-conv-outputs policy over the
+    # blocks.saveable names); params, batch stats, and metrics must be
+    # identical in every mode.
     model, variables, height, timesteps = setup
     rs = np.random.RandomState(3)
     x = rs.rand(8, height, height, 1).astype(np.float32)
     c = rs.rand(8, 3).astype(np.float32)
     outs = []
-    for remat in (False, True):
+    for remat in (False, True, "convs"):
         state = create_train_state(model, variables, 1e-3, 50, 1)
         step = make_train_step(model, timesteps, remat=remat)
         key = jax.random.PRNGKey(5)
@@ -73,13 +75,14 @@ def test_remat_step_matches_plain(setup):
             key, k = jax.random.split(key)
             state, metrics = step(state, x, c, k)
         outs.append((state, metrics))
-    (s0, m0), (s1, m1) = outs
-    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
-                               rtol=1e-6)
-    jax.tree_util.tree_map(
-        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
-        s0.params, s1.params,
-    )
+    (s0, m0) = outs[0]
+    for s1, m1 in outs[1:]:
+        np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
+                                   rtol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+            s0.params, s1.params,
+        )
 
 
 def test_batch_stats_update(setup):
