@@ -219,13 +219,19 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
     # step (trainer.py docstring; identical math, different memory/recompute
     # schedule — A/B'd in ARCHITECTURE.md).  Default: XLA's residual saving.
     remat_env = os.environ.get("CAMELS_TRAIN_REMAT", "")
+    remat_modes = {"": False, "full": True, "convs": "convs"}
+    if remat_env not in remat_modes:
+        raise SystemExit(
+            f"CAMELS_TRAIN_REMAT={remat_env!r} — valid values: '' (off), "
+            "'full', 'convs'"
+        )
     train_step = make_train_step(
         model, cfg.timesteps, scaling=spec.q_scaling,
         beta1=cfg.beta1, beta2=cfg.beta2,
         # In-place state update on device (params + Adam moments + BN stats);
         # the init-time `variables` alias is never used after state creation.
         donate=True,
-        remat={"": False, "full": True, "convs": "convs"}[remat_env],
+        remat=remat_modes[remat_env],
     )
     eval_step = make_eval_step(
         model, cfg.timesteps, scaling=spec.q_scaling,
@@ -258,26 +264,26 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
 
     def pad_and_shard(bx, bc):
         n = bx.shape[0]
-        mask = None
         if n < pad_to:
             idx = np.arange(pad_to) % n
             bx, bc = bx[idx], bc[idx]
-            mask = (np.arange(pad_to) < n).astype(np.float32)
+        # Full batches get an all-ones mask rather than None: mask=None and
+        # mask=array are different pytree structures, so alternating them
+        # would retrace the step and compile a SECOND program for the final
+        # partial batch — exactly what this padding exists to avoid.
+        mask = (np.arange(pad_to) < n).astype(np.float32)
         if mesh is not None:
             from ..parallel import shard_batch
 
-            if mask is None:
-                bx, bc = shard_batch(mesh, bx, bc)
-            else:
-                bx, bc, mask = shard_batch(mesh, bx, bc, mask)
+            bx, bc, mask = shard_batch(mesh, bx, bc, mask)
         else:
             # Commit host arrays here so the prefetch worker thread overlaps
             # the host->device copy with the previous step's compute (the
             # copy is 24% of the batch-32 step over a tunneled runtime,
             # ARCHITECTURE.md "Training-step speed-of-light audit").
-            bx, bc = jax.device_put(bx), jax.device_put(bc)
-            if mask is not None:
-                mask = jax.device_put(mask)
+            bx, bc, mask = (
+                jax.device_put(bx), jax.device_put(bc), jax.device_put(mask)
+            )
         return bx, bc, mask
 
     start_epoch = 0

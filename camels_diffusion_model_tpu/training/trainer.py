@@ -72,6 +72,20 @@ def _noise_coeff(ab, scaling: str):
     return (1.0 - ab) if scaling == "reference" else jnp.sqrt(1.0 - ab)
 
 
+def masked_mean(per_sample, mask):
+    """Mean of ``per_sample`` over the real rows of a padded partial batch.
+
+    ``mask`` (B,) is 1.0 for real rows, 0.0 for pad rows (None = all real).
+    Returns ``(per_sample_masked, mean)`` with pad rows zeroed so downstream
+    per-sample consumers (the per-batch ELBO form) see no pad contribution.
+    """
+    if mask is None:
+        return per_sample, jnp.mean(per_sample)
+    m = mask.astype(per_sample.dtype)
+    per_sample = per_sample * m
+    return per_sample, jnp.sum(per_sample) / jnp.sum(m)
+
+
 from ..models.context_unet import model_rngs  # noqa: E402  (re-export)
 
 
@@ -168,12 +182,7 @@ def make_train_step(
             per_sample = jnp.mean(
                 jnp.square(out - noise), axis=tuple(range(1, out.ndim))
             )
-            if mask is not None:
-                m = mask.astype(per_sample.dtype)
-                per_sample = per_sample * m
-                loss = jnp.sum(per_sample) / jnp.sum(m)
-            else:
-                loss = jnp.mean(per_sample)
+            per_sample, loss = masked_mean(per_sample, mask)
             return loss, (per_sample, mutated["batch_stats"])
 
         (loss, (per_sample, new_stats)), grads = jax.value_and_grad(
@@ -221,12 +230,7 @@ def make_eval_step(
         per_sample = jnp.mean(
             jnp.square(out - noise), axis=tuple(range(1, out.ndim))
         )
-        if mask is not None:
-            m = mask.astype(per_sample.dtype)
-            per_sample = per_sample * m
-            loss = jnp.sum(per_sample) / jnp.sum(m)
-        else:
-            loss = jnp.mean(per_sample)
+        per_sample, loss = masked_mean(per_sample, mask)
         return {"loss": loss, "per_sample_mse": per_sample, "t": t}
 
     return eval_step

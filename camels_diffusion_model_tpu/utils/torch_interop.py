@@ -287,7 +287,12 @@ def load_reference_state_dict(path: str) -> Dict[str, Any]:
         import torch
     except ImportError:
         return _load_pth_without_torch(path)
-    sd = torch.load(path, map_location="cpu", weights_only=True)
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except TypeError:
+        # torch < 1.13 has no weights_only kwarg; the torch-free decoder
+        # gives the same no-arbitrary-code guarantee there.
+        sd = _load_pth_without_torch(path)
     return sd
 
 

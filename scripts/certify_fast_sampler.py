@@ -182,6 +182,23 @@ def main():
     )
     schedule = make_schedule(T)
 
+    # Fingerprint tying cached spectra to the exact model + protocol that
+    # produced them: checkpoint file hash, timesteps, scaling, param-set
+    # count.  Guards against silently reusing a persistent outdir's pk_cache
+    # across a retrained checkpoint or changed protocol (the n_eval/guide_w
+    # check alone cannot see those).
+    import hashlib
+
+    def _file_md5(p):
+        h = hashlib.md5()
+        with open(p, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        return h.hexdigest()
+
+    ckpt_fp = _file_md5(ckpt_path) if os.path.exists(ckpt_path) else "none"
+    proto_fp = f"{ckpt_fp}:T{T}:{args.scaling}:p{args.param_sets}"
+
     # ---- quality sampling ---------------------------------------------------
     # Statistics protocol: the mean P(k) of N sampled maps is a Monte-Carlo
     # estimator — the lowest populated k-bin of a 64x64 map holds only ~6
@@ -209,16 +226,27 @@ def main():
         slug = "".join(c if c.isalnum() else "_" for c in label)
         return os.path.join(pk_cache_dir, f"{slug}.npz")
 
-    def gen_mean_pk(sample_slice, label):
+    def gen_mean_pk(sample_slice, label, extra_key=""):
         """sample_slice(x0, params, slice_seed) -> (B, 64, 64, 1) maps; same
-        per-slice x_init for every config (shared PRNGKey(100+si))."""
+        per-slice x_init for every config (shared PRNGKey(100+si)).
+
+        ``extra_key`` folds config state the label can't see into the cache
+        fingerprint (e.g. the calibration file's content hash)."""
         cache_path = _pk_cache_path(label)
+        want_fp = proto_fp + (f":{extra_key}" if extra_key else "")
         if os.path.exists(cache_path):
             c = np.load(cache_path)
+            # Legacy caches (pre-fingerprint) carry no "fingerprint" field
+            # and are accepted; new caches must match the current
+            # checkpoint + protocol exactly.
+            fp_ok = ("fingerprint" not in c.files
+                     or str(c["fingerprint"]) == want_fp)
             if (int(c["n_eval"]) == n_eval
-                    and float(c["guide_w"]) == args.guide_w):
+                    and float(c["guide_w"]) == args.guide_w and fp_ok):
                 print(f"  {label}: cached ({cache_path})", flush=True)
                 return c["k"], c["pk"]
+            print(f"  {label}: stale cache ignored ({cache_path})",
+                  flush=True)
         t0 = time.time()
         acc = None
         k_out = None
@@ -238,7 +266,7 @@ def main():
               flush=True)
         k_out, mean_pk = np.asarray(k_out), acc / n_eval
         np.savez(cache_path, k=k_out, pk=mean_pk, n_eval=n_eval,
-                 guide_w=args.guide_w)
+                 guide_w=args.guide_w, fingerprint=want_fp)
         return k_out, mean_pk
 
     def ddpm_slice(seed_base):
@@ -264,6 +292,12 @@ def main():
             assert prev[field] == want, (
                 f"--ref-from protocol mismatch: {field}={prev[field]} != {want}"
             )
+        # Older certification.json files carry no checkpoint fingerprint;
+        # when one is present it must match the checkpoint in use.
+        assert prev.get("checkpoint_fingerprint", ckpt_fp) == ckpt_fp, (
+            "--ref-from was produced by a DIFFERENT checkpoint "
+            f"({prev['checkpoint_fingerprint']} != {ckpt_fp})"
+        )
         k_bins = np.asarray(prev["k_bins"])
         pk_ddpm = np.asarray(prev["pk_ddpm_ref"])
         pk_data = np.asarray(prev["pk_data"])
@@ -469,7 +503,9 @@ def main():
                 ).x
                 return apply_spectral_calibration(maps, calib)
 
-            _, pk = gen_mean_pk(calib_slice, label)
+            _, pk = gen_mean_pk(
+                calib_slice, label, extra_key=_file_md5(calib_path)
+            )
 
             def calib_bench(s, c_steps=c_steps, calib=calib):
                 out = sample_ddim(
@@ -523,6 +559,7 @@ def main():
         "guide_w": args.guide_w,
         "n_eval_maps": n_eval,
         "bench_batch": args.bench_batch,
+        "checkpoint_fingerprint": ckpt_fp,
         "device": str(jax.devices()[0]),
         "noise_floor_max_pct": round(floor_max, 2),
         "certify_tolerance_pct": round(tol, 2),

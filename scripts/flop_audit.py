@@ -195,8 +195,10 @@ def train_step_audit(batch, timesteps, measure=False, scaling="reference",
             k, sub = jax.random.split(k)
             if feed_host:
                 # fresh numpy each step -> genuine H2D on the hot path
-                x_dev = np.ascontiguousarray(x_np)
-                c_dev = np.ascontiguousarray(c_np)
+                # (.copy(): ascontiguousarray on an already-contiguous
+                # array is an identity and would reuse one buffer)
+                x_dev = x_np.copy()
+                c_dev = c_np.copy()
             st, m = step(st, x_dev, c_dev, sub)
         _ = float(m["loss"])
         dt = time.time() - t0

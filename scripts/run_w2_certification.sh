@@ -29,19 +29,29 @@ CALIB=${W2_CALIB_DIR:-/tmp}
 STEPS=${W2_STEPS:-"440 500 560 620 680 750 900"}  # 750/900 map the valley
                                       # floor even under 500 maps/min
 
+# Freshness stamp: every stage's output json must be NEWER than this, so a
+# crashed stage can never hand a stale artifact from a previous run to the
+# next stage (the old gate only tested existence).
+STAMP=$(mktemp /tmp/w2cert_stamp.XXXXXX)
+
 # Stage A trains the reference-scale checkpoint if $SWEEP doesn't already
 # hold one (resumable: checkpoints every 10 epochs), then sweeps.
 python scripts/certify_fast_sampler.py "$SWEEP" "$EPOCHS" \
   --guide-w 2 --eval-maps "$EVAL_MAPS" --timesteps "$T" --families strided \
   --ddim-steps $STEPS --hybrid --dpm-steps $EXTRA \
   2>&1 | tee /tmp/cert_w2_stageA.log
-test -f "$SWEEP/certification.json" || { echo "stage A failed"; exit 1; }
+rc=$?
+[ "$rc" -eq 0 ] || { echo "stage A failed (rc=$rc)"; exit 1; }
+[ "$SWEEP/certification.json" -nt "$STAMP" ] || {
+  echo "stage A left no fresh certification.json"; exit 1; }
 
 SPECS=""
 for s in $STEPS; do
   python scripts/fit_calibration.py "$SWEEP/certification.json" \
     "strided DDPM $s" -o "$CALIB/calib_w2_$s.npz" \
     2>&1 | tee -a /tmp/cert_w2_fits.log
+  rc=$?
+  [ "$rc" -eq 0 ] || { echo "calibration fit for $s failed (rc=$rc)"; exit 1; }
   SPECS="$SPECS $s:$CALIB/calib_w2_$s.npz"
 done
 
@@ -55,6 +65,11 @@ python scripts/certify_fast_sampler.py "$VAL" "$EPOCHS" --skip-train \
   --ddim-steps --hybrid --dpm-steps $EXTRA \
   --ref-from "$SWEEP/certification.json" --calibrated $SPECS \
   2>&1 | tee /tmp/cert_w2_stageB.log
+rc=$?
+[ "$rc" -eq 0 ] || { echo "stage B failed (rc=$rc)"; exit 1; }
+[ "$VAL/certification.json" -nt "$STAMP" ] || {
+  echo "stage B left no fresh certification.json"; exit 1; }
+rm -f "$STAMP"
 
 echo "=== w=2 certification pipeline complete ==="
 echo "stage A: $SWEEP/certification.{json,md}"
