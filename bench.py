@@ -52,14 +52,12 @@ def bench_train():
     )
     state = create_train_state(model, variables, 1e-5, 100, 422)
     # BENCH_REMAT=convs|full: rematerialization A/B (trainer.py docstring).
-    remat_modes = {"": False, "full": True, "convs": "convs"}
-    remat_env = os.environ.get("BENCH_REMAT", "")
-    if remat_env not in remat_modes:
-        raise SystemExit(
-            f"BENCH_REMAT={remat_env!r} — valid values: '' (off), 'full', "
-            "'convs'"
-        )
-    remat = remat_modes[remat_env]
+    from camels_diffusion_model_tpu.training import parse_remat_env
+
+    try:
+        remat = parse_remat_env(os.environ.get("BENCH_REMAT", ""))
+    except ValueError as e:
+        raise SystemExit(f"BENCH_REMAT: {e}")
     step = make_train_step(model, 1500, donate=True, remat=remat)
     # Epoch-like conditions: a DIFFERENT host batch each step (reusing one
     # array would hide the host->device input cost — 24% of the batch-32

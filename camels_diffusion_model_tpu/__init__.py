@@ -52,10 +52,19 @@ if not _os.environ.get("CAMELS_NO_COMPILE_CACHE"):
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # older jax without these config names
-        _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir)
-        _os.environ.setdefault(
-            "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0"
-        )
+        # Env vars are useless here (jax latched them at its own import);
+        # the pre-config-API cache entry point still works post-import.
+        try:
+            from jax.experimental.compilation_cache import (
+                compilation_cache as _cc,
+            )
+
+            if hasattr(_cc, "set_cache_dir"):
+                _cc.set_cache_dir(_cache_dir)
+            else:
+                _cc.initialize_cache(_cache_dir)
+        except Exception:
+            pass  # this jax has no persistent-cache support at all
 
 from .diffusion.schedule import (
     DDPMSchedule,

@@ -60,6 +60,7 @@ from ..training import (
     load_train_checkpoint,
     make_eval_step,
     make_train_step,
+    parse_remat_env,
     save_model_weights,
     save_train_checkpoint,
 )
@@ -218,20 +219,17 @@ def run_experiment(cfg: ExperimentConfig) -> Dict[str, object]:
     # CAMELS_TRAIN_REMAT=convs|full: rematerialization mode for the train
     # step (trainer.py docstring; identical math, different memory/recompute
     # schedule — A/B'd in ARCHITECTURE.md).  Default: XLA's residual saving.
-    remat_env = os.environ.get("CAMELS_TRAIN_REMAT", "")
-    remat_modes = {"": False, "full": True, "convs": "convs"}
-    if remat_env not in remat_modes:
-        raise SystemExit(
-            f"CAMELS_TRAIN_REMAT={remat_env!r} — valid values: '' (off), "
-            "'full', 'convs'"
-        )
+    try:
+        remat = parse_remat_env(os.environ.get("CAMELS_TRAIN_REMAT", ""))
+    except ValueError as e:
+        raise SystemExit(f"CAMELS_TRAIN_REMAT: {e}")
     train_step = make_train_step(
         model, cfg.timesteps, scaling=spec.q_scaling,
         beta1=cfg.beta1, beta2=cfg.beta2,
         # In-place state update on device (params + Adam moments + BN stats);
         # the init-time `variables` alias is never used after state creation.
         donate=True,
-        remat=remat_modes[remat_env],
+        remat=remat,
     )
     eval_step = make_eval_step(
         model, cfg.timesteps, scaling=spec.q_scaling,

@@ -109,6 +109,11 @@ def fit_spectral_transfer(
     good = (k_bins > 0) & np.isfinite(pk_ref) & (pk_ref > 0)
     good &= np.isfinite(pk_fast) & (pk_fast > 0)
     k = k_bins[good]
+    if k.size == 0:
+        raise ValueError(
+            "fit_spectral_transfer: no valid (positive, finite) bins in the "
+            "calibration input — check the sweep spectra"
+        )
     r = pk_fast[good] / pk_ref[good]
     if counts is not None:
         w = np.sqrt(np.asarray(counts, np.float64)[good])

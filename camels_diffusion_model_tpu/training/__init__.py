@@ -4,6 +4,7 @@ from .trainer import (
     make_train_step,
     make_eval_step,
     linear_decay_schedule,
+    parse_remat_env,
 )
 from .checkpoints import (
     save_model_weights,
@@ -18,6 +19,7 @@ __all__ = [
     "make_train_step",
     "make_eval_step",
     "linear_decay_schedule",
+    "parse_remat_env",
     "save_model_weights",
     "load_model_weights",
     "save_train_checkpoint",

@@ -89,6 +89,21 @@ def masked_mean(per_sample, mask):
 from ..models.context_unet import model_rngs  # noqa: E402  (re-export)
 
 
+def parse_remat_env(value):
+    """Map a user-facing remat mode string to :func:`make_train_step`'s
+    ``remat`` argument: '' / None -> False, 'full' -> True, 'convs' ->
+    'convs'.  The ONE shared parser for every CLI surface
+    (CAMELS_TRAIN_REMAT, BENCH_REMAT, flop_audit --remat) so the accepted
+    values can never drift between them."""
+    value = value or ""
+    modes = {"": False, "full": True, "convs": "convs"}
+    if value not in modes:
+        raise ValueError(
+            f"remat mode {value!r} — valid values: '' (off), 'full', 'convs'"
+        )
+    return modes[value]
+
+
 def make_train_step(
     model,
     timesteps: int,

@@ -328,6 +328,7 @@ def _load_pth_without_torch(path: str) -> Dict[str, np.ndarray]:
     zf = zipfile.ZipFile(path)
     pkl_names = [n for n in zf.namelist() if n.endswith("/data.pkl")]
     if not pkl_names:
+        zf.close()
         raise ValueError(
             f"{path}: not a torch zip checkpoint (legacy pre-1.6 format "
             "needs torch installed to load)"
@@ -398,6 +399,9 @@ def _load_pth_without_torch(path: str) -> Dict[str, np.ndarray]:
                 storages[key] = (name, zf.read(f"{prefix}data/{key}"))
             return storages[key]
 
-    with zf.open(pkl_names[0]) as f:
-        obj = _Unpickler(f).load()
+    try:
+        with zf.open(pkl_names[0]) as f:
+            obj = _Unpickler(f).load()
+    finally:
+        zf.close()
     return {k: np.asarray(v) for k, v in dict(obj).items()}

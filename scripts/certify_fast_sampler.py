@@ -236,11 +236,11 @@ def main():
         want_fp = proto_fp + (f":{extra_key}" if extra_key else "")
         if os.path.exists(cache_path):
             c = np.load(cache_path)
-            # Legacy caches (pre-fingerprint) carry no "fingerprint" field
-            # and are accepted; new caches must match the current
-            # checkpoint + protocol exactly.
-            fp_ok = ("fingerprint" not in c.files
-                     or str(c["fingerprint"]) == want_fp)
+            # A cache must carry a fingerprint matching the current
+            # checkpoint + protocol exactly; legacy caches without one are
+            # treated as stale (they could have come from ANY checkpoint).
+            fp_ok = ("fingerprint" in c.files
+                     and str(c["fingerprint"]) == want_fp)
             if (int(c["n_eval"]) == n_eval
                     and float(c["guide_w"]) == args.guide_w and fp_ok):
                 print(f"  {label}: cached ({cache_path})", flush=True)

@@ -314,9 +314,11 @@ def train_main(args):
 
     results = []
     for b in args.train_batches:
+        from camels_diffusion_model_tpu.training import parse_remat_env
+
         r = train_step_audit(
             b, args.timesteps, measure=args.measure, scaling=args.scaling,
-            remat={"full": True, "convs": "convs", None: False}[args.remat],
+            remat=parse_remat_env(args.remat),
         )
         gf_img = r["xla_train_step_gf_per_img"]
         r["analytic_gf_per_img"] = analytic_step / 1e9

@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Re-score a calibrated validation run against the INDEPENDENT reference.
+
+Why: the certification pipeline fits the spectral calibration to the sweep's
+seed-A exact-chain spectrum and (via --ref-from) also SCORES the validation
+rows against that same seed-A spectrum.  The smooth component of seed A's
+estimator noise is absorbed by the polynomial fit and then cancels in the
+score — an optimistic bias (the fit can never look worse against its own
+reference than against a fresh one).  The sweep, however, also generated an
+independent seed-B exact-chain run (the noise-floor row), which never
+entered any fit: scoring the validation rows against seed B is a fully
+independent measurement.  All per-bin spectra are stored in the JSONs, so
+this is pure post-processing — no sampling required.
+
+Usage:
+  python scripts/rescore_validation.py sweep.json validation.json [-o out.json]
+
+Prints the rescored table and writes ``validation`` with every row's
+``max/mean_err_vs_indep_pct`` added plus a ``certified_configs_independent``
+list (threshold = the sweep's certify tolerance, i.e. max(1%, floor)).
+"""
+
+import argparse
+import json
+
+import numpy as np
+
+
+def rescore(sweep: dict, val: dict) -> dict:
+    k = np.asarray(sweep["k_bins"], np.float64)
+    pk_a = np.asarray(sweep["pk_ddpm_ref"], np.float64)  # seed A (fit ref)
+    floor_rows = [r for r in sweep["rows"] if "independent seed" in r["config"]]
+    if not floor_rows:
+        raise ValueError("sweep json has no independent-seed noise-floor row")
+    pk_b = np.asarray(floor_rows[0]["pk"], np.float64)  # seed B (independent)
+    good = (k > 0) & np.isfinite(pk_a) & (pk_a > 0)
+    good &= np.isfinite(pk_b) & (pk_b > 0)
+
+    def err(pk, ref):
+        r = np.asarray(pk, np.float64)[good] / ref[good]
+        return (
+            float(100 * np.max(np.abs(r - 1.0))),
+            float(100 * np.mean(np.abs(r - 1.0))),
+        )
+
+    floor_max, floor_mean = err(pk_a, pk_b)
+    tol = max(1.0, floor_max)
+    out = dict(val)
+    out["independent_reference"] = "sweep noise-floor row (seed B)"
+    out["noise_floor_max_pct_indep"] = round(floor_max, 2)
+    out["certify_tolerance_pct_indep"] = round(tol, 2)
+    certified = []
+    rows = []
+    for r in val["rows"]:
+        r = dict(r)
+        e_max, e_mean = err(r["pk"], pk_b)
+        r["max_err_vs_indep_pct"] = round(e_max, 2)
+        r["mean_err_vs_indep_pct"] = round(e_mean, 2)
+        rows.append(r)
+        is_ref_row = r["steps"] == val["timesteps"]
+        if not is_ref_row and e_max <= tol:
+            certified.append(r["config"])
+    out["rows"] = rows
+    out["certified_configs_independent"] = certified
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sweep")
+    ap.add_argument("validation")
+    ap.add_argument("-o", "--out", default=None)
+    args = ap.parse_args()
+    with open(args.sweep) as f:
+        sweep = json.load(f)
+    with open(args.validation) as f:
+        val = json.load(f)
+    out = rescore(sweep, val)
+    print(
+        f"independent floor: {out['noise_floor_max_pct_indep']}% max "
+        f"(tolerance {out['certify_tolerance_pct_indep']}%)"
+    )
+    print("| Config | maps/min | max err vs indep | mean | vs fit-ref (old) |")
+    print("|---|---|---|---|---|")
+    for r in out["rows"]:
+        print(
+            f"| {r['config']} | {r['maps_per_min']} | "
+            f"{r['max_err_vs_indep_pct']}% | {r['mean_err_vs_indep_pct']}% | "
+            f"{r['max_err_vs_ddpm1500_pct']}% |"
+        )
+    print("certified (independent scoring):",
+          out["certified_configs_independent"])
+    out_path = args.out or args.validation.replace(".json", "") + ".indep.json"
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"written: {out_path}")
+
+
+if __name__ == "__main__":
+    main()
