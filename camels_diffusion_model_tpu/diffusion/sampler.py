@@ -431,6 +431,8 @@ def _run(
         # sharding alone (parallel/mesh.py::make_mesh_2d).
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from ..parallel.mesh import batch_sharding, spatial_sharding
+
         if spatial and len(mesh.axis_names) < 2:
             raise ValueError("spatial=True requires a 2-D mesh (make_mesh_2d)")
         n_dev = mesh.devices.shape[0] if spatial else mesh.devices.size
@@ -440,31 +442,19 @@ def _run(
             params = jnp.concatenate(
                 [params, jnp.zeros((pad,) + params.shape[1:], params.dtype)]
             )
-        if spatial:
-            xspec = lambda ndim: NamedSharding(
-                mesh,
-                P(mesh.axis_names[0], mesh.axis_names[1],
-                  *([None] * (ndim - 2))),
-            )
-        else:
-            xspec = lambda ndim: NamedSharding(
-                mesh, P(mesh.axis_names[0], *([None] * (ndim - 1)))
-            )
-        bspec = lambda ndim: NamedSharding(
-            mesh, P(mesh.axis_names[0], *([None] * (ndim - 1)))
+        # One layout convention, defined once in parallel/mesh.py.
+        xshard = (
+            spatial_sharding(mesh, x.ndim) if spatial
+            else batch_sharding(mesh, x.ndim)
         )
-        x = jax.device_put(x, xspec(x.ndim))
-        params = jax.device_put(params, bspec(params.ndim))
+        x = jax.device_put(x, xshard)
+        params = jax.device_put(params, batch_sharding(mesh, params.ndim))
     buf = jnp.zeros((n_saves + 1,) + x.shape, x.dtype)
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        if spatial:
-            buf_spec = P(None, mesh.axis_names[0], mesh.axis_names[1],
-                         *([None] * (x.ndim - 2)))
-        else:
-            buf_spec = P(None, mesh.axis_names[0], *([None] * (x.ndim - 1)))
-        buf = jax.device_put(buf, NamedSharding(mesh, buf_spec))
+        # Same sharding as x with a replicated leading save axis.
+        buf = jax.device_put(
+            buf, NamedSharding(mesh, P(None, *xshard.spec))
+        )
     key = rng
     w = jnp.asarray(guide_w, jnp.float32)
     if mesh is not None and w.ndim > 0:
