@@ -1,0 +1,40 @@
+#!/bin/bash
+# N=16384 confirmation of the certified w=2 CFG serving row.
+#
+# At N=4096 the mean-P(k) Monte-Carlo floor is ~1.7% max-bin, so "within
+# 1%" (BASELINE.md north star) is unresolvable — certification there means
+# "inside the floor".  N=16384 drops the floor to ~sqrt(2/(6N)) ~ 0.85% in
+# the ~6-mode lowest bin, making the literal 1% clause measurable.  This
+# reuses the reference-scale 300-epoch checkpoint and the stage-A-fitted
+# calibration (which stays out-of-sample: fresh seeds, 4x the fit's N, and
+# scoring is done against the independent seed-B chain via
+# scripts/rescore_validation.py).  ~3 h on one v5e chip (two 1500-step
+# exact chains at 16384 maps dominate).
+#
+# Usage: scripts/run_n16k_confirmation.sh   (after run_w2_certification.sh)
+# Env: N16K_STEPS / N16K_CALIB select the row to confirm (default: the
+#      stage-B winner), N16K_SRC the stage-A outdir with the checkpoint.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+SRC=${N16K_SRC:-/tmp/cert_r3_w2}
+OUT=${N16K_OUT:-/tmp/cert_r3_w2_n16k}
+STEPS=${N16K_STEPS:-560}
+CALIB=${N16K_CALIB:-/tmp/calib_w2_560.npz}
+EXTRA=${N16K_EXTRA:---param-sets 1000}
+
+mkdir -p "$OUT"
+cp -f "$SRC/train_state.msgpack" "$OUT/train_state.msgpack"
+python scripts/certify_fast_sampler.py "$OUT" 300 --skip-train \
+  --guide-w 2 --eval-maps 16384 --timesteps 1500 --families strided \
+  --ddim-steps --hybrid --dpm-steps $EXTRA \
+  --calibrated "$STEPS:$CALIB" \
+  2>&1 | tee /tmp/cert_w2_n16k.log
+rc=$?
+[ "$rc" -eq 0 ] || { echo "confirmation run failed (rc=$rc)"; exit 1; }
+
+# Score the calibrated row against the INDEPENDENT seed-B chain (the json
+# is its own sweep: it carries the seed-A reference and the seed-B floor).
+python scripts/rescore_validation.py \
+  "$OUT/certification.json" "$OUT/certification.json" \
+  -o "$OUT/certification.indep.json"
+echo "=== N=16384 confirmation complete: $OUT/certification.indep.json ==="
