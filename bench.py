@@ -139,7 +139,12 @@ def main():
     # DDIM serving config: certified in SPEEDUP.md (spectral error vs the
     # 1500-step DDPM reference documented there per step count).
     ddim_steps = int(os.environ.get("BENCH_DDIM_STEPS", 250))
-    guide_w = float(os.environ.get("BENCH_GUIDE_W", 2.0))
+    # Serving default follows the certified row's guidance setting (w=0, the
+    # reference's own P(k)-validation setting — SPEEDUP.md); other modes
+    # default to the w=2 throughput-headline config.
+    guide_w = float(
+        os.environ.get("BENCH_GUIDE_W", 0.0 if serving_mode else 2.0)
+    )
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16" if on_accel else "float32")
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
 
@@ -166,19 +171,31 @@ def main():
         np.random.RandomState(0).rand(batch, 6).astype(np.float32)
     )
 
-    serving_steps = int(os.environ.get("BENCH_SERVING_STEPS", 500))
+    # Default = the certified w=0 serving row (SPEEDUP.md): strided DDPM 430
+    # + the committed spectral-calibration filter.
+    serving_steps = int(os.environ.get("BENCH_SERVING_STEPS", 430))
     # CAMELS_CALIBRATION=<calib.npz>: include the certified serving path's
     # spectral-calibration filter (one rfft2 pair per map, ~1e-4 of the UNet
     # FLOPs) inside the timed run — honest accounting of the full certified
-    # configuration (SPEEDUP.md).
+    # configuration (SPEEDUP.md).  Defaults to the committed artifact for
+    # the chosen step count when one exists; CAMELS_CALIBRATION=none skips.
     calib = None
-    if serving_mode and os.environ.get("CAMELS_CALIBRATION"):
-        from camels_diffusion_model_tpu.diffusion.calibration import (
-            SpectralCalibration,
-            apply_spectral_calibration,
-        )
+    if serving_mode:
+        calib_path = os.environ.get("CAMELS_CALIBRATION")
+        if calib_path is None:
+            default = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "artifacts", "certification_r3",
+                f"calib_w{int(guide_w)}_{serving_steps}.npz",
+            )
+            calib_path = default if os.path.exists(default) else "none"
+        if calib_path.lower() != "none":
+            from camels_diffusion_model_tpu.diffusion.calibration import (
+                SpectralCalibration,
+                apply_spectral_calibration,
+            )
 
-        calib = SpectralCalibration.load(os.environ["CAMELS_CALIBRATION"])
+            calib = SpectralCalibration.load(calib_path)
 
     def run(seed):
         if serving_mode:
