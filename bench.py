@@ -22,6 +22,17 @@ import time
 import numpy as np
 
 
+def default_calibration_path(guide_w, serving_steps):
+    """Committed spectral-calibration artifact for a (guidance, steps) pair,
+    or None when no matching artifact exists (SPEEDUP.md certified rows)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "artifacts", "certification_r3",
+        f"calib_w{int(guide_w)}_{serving_steps}.npz",
+    )
+    return path if os.path.exists(path) else None
+
+
 def bench_train():
     """Secondary mode (BENCH_MODE=train): training throughput imgs/s/chip.
 
@@ -183,12 +194,7 @@ def main():
     if serving_mode:
         calib_path = os.environ.get("CAMELS_CALIBRATION")
         if calib_path is None:
-            default = os.path.join(
-                os.path.dirname(os.path.abspath(__file__)),
-                "artifacts", "certification_r3",
-                f"calib_w{int(guide_w)}_{serving_steps}.npz",
-            )
-            calib_path = default if os.path.exists(default) else "none"
+            calib_path = default_calibration_path(guide_w, serving_steps) or "none"
         if calib_path.lower() != "none":
             from camels_diffusion_model_tpu.diffusion.calibration import (
                 SpectralCalibration,

@@ -49,3 +49,28 @@ def test_bench_train_contract():
     res = _run_bench({"BENCH_MODE": "train"})
     assert res["unit"] == "imgs/sec/chip"
     assert res["value"] > 0
+
+
+@pytest.mark.slow
+def test_bench_serving_contract():
+    # Tiny strided run; no committed calibration exists for 2 steps, so the
+    # default resolution must fall back to uncalibrated.
+    res = _run_bench({"BENCH_MODE": "serving", "BENCH_SERVING_STEPS": "2"})
+    assert res["unit"] == "maps/min/chip"
+    assert res["serving_steps"] == 2
+    assert res["sigma_mode"] == "beta"
+    assert res["guide_w"] == 0.0  # certified row's guidance setting
+    assert res["calibrated"] is False
+
+
+def test_default_calibration_path_resolution():
+    sys.path.insert(0, REPO)
+    try:
+        from bench import default_calibration_path
+    finally:
+        sys.path.remove(REPO)
+    # The committed certified w=0 artifacts resolve; unknown pairs don't.
+    p = default_calibration_path(0.0, 430)
+    assert p is not None and p.endswith("calib_w0_430.npz")
+    assert default_calibration_path(0.0, 2) is None
+    assert default_calibration_path(7.0, 430) is None
