@@ -323,6 +323,10 @@ def test_two_process_sharded_train_step(tmp_path):
         import jax
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", 2)
+        # No compilation cache: a cache hit on one process but not the other
+        # skews them by a full compile (>30 s), blowing Gloo's context-init
+        # KV-store timeout at the first cross-process collective.
+        jax.config.update("jax_enable_compilation_cache", False)
         import jax.numpy as jnp
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
         from jax.experimental import multihost_utils
@@ -380,7 +384,12 @@ def test_two_process_sharded_train_step(tmp_path):
         gstate = jax.tree_util.tree_map(
             lambda a: to_global(np.asarray(a), P()), state
         )
-        gstate, gm = step(gstate, gx, gc, key)
+        # Compile on both processes FIRST, then barrier, so both reach the
+        # first executed cross-process collective (which lazily initializes
+        # the Gloo context, 30 s KV timeout) within moments of each other.
+        compiled = step.lower(gstate, gx, gc, key).compile()
+        multihost_utils.sync_global_devices("w2-train-step-compiled")
+        gstate, gm = compiled(gstate, gx, gc, key)
         loss_g = float(gm["loss"])
         assert np.isclose(loss_g, loss_ref, rtol=1e-4), (loss_g, loss_ref)
         for a, b in zip(
