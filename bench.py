@@ -22,6 +22,41 @@ import time
 import numpy as np
 
 
+def certified_serving_summary():
+    """Compact summaries of the committed certified serving rows
+    (artifacts/certification_r3/validation_w*_calibrated.indep.json) for the
+    default-mode JSON line, so every BENCH_r* records the north-star serving
+    numbers alongside the exact-CFG headline.  Empty list if no artifacts."""
+    import glob
+
+    out = []
+    pat = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "artifacts", "certification_r3", "validation_w*_calibrated.indep.json",
+    )
+    for path in sorted(glob.glob(pat)):
+        try:
+            with open(path) as f:
+                d = json.load(f)
+            certified = set(d.get("certified_configs_independent") or [])
+            rows = [r for r in d["rows"] if r["config"] in certified]
+            if not rows:
+                continue
+            best = max(rows, key=lambda r: r["maps_per_min"])
+            out.append(
+                {
+                    "guide_w": d["guide_w"],
+                    "config": best["config"],
+                    "maps_per_min": best["maps_per_min"],
+                    "max_err_vs_indep_pct": best["max_err_vs_indep_pct"],
+                    "noise_floor_max_pct": d["noise_floor_max_pct_indep"],
+                }
+            )
+        except Exception:
+            continue
+    return out
+
+
 def default_calibration_path(guide_w, serving_steps):
     """Committed spectral-calibration artifact for a (guidance, steps) pair,
     or None when no matching artifact exists (SPEEDUP.md certified rows)."""
@@ -303,6 +338,13 @@ def main():
         result["serving_steps"] = serving_steps
         result["sigma_mode"] = "beta"
         result["calibrated"] = calib is not None
+    elif not ddim_mode:
+        # Default mode also records the committed certified serving rows
+        # (the BASELINE.md north-star setting) so the round artifact carries
+        # both numbers.
+        certified = certified_serving_summary()
+        if certified:
+            result["certified_serving"] = certified
     print(json.dumps(result))
 
 

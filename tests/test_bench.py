@@ -63,6 +63,24 @@ def test_bench_serving_contract():
     assert res["calibrated"] is False
 
 
+def test_certified_serving_summary():
+    sys.path.insert(0, REPO)
+    try:
+        from bench import certified_serving_summary
+    finally:
+        sys.path.remove(REPO)
+    rows = certified_serving_summary()
+    # The committed w=0 certification must surface; each entry carries the
+    # fields the round artifact needs, and the certified row beats the bar.
+    assert any(r["guide_w"] == 0.0 for r in rows)
+    for r in rows:
+        for key in ("config", "maps_per_min", "max_err_vs_indep_pct",
+                    "noise_floor_max_pct"):
+            assert key in r
+        assert r["maps_per_min"] >= 500
+        assert r["max_err_vs_indep_pct"] <= r["noise_floor_max_pct"]
+
+
 def test_default_calibration_path_resolution():
     sys.path.insert(0, REPO)
     try:
