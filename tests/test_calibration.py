@@ -125,3 +125,76 @@ def test_ratio_clamped_outside_fit_range():
     # r(k)=k on [1,2]; below/above the range evaluation clamps k
     assert calib.ratio(0.0) == pytest.approx(1.0)   # k clamped to 1
     assert calib.ratio(5.0) == pytest.approx(1.1)   # k->2 then clip 1.1
+
+
+# ---------------------------------------------------------------------------
+# Binwise-radial analysis (scripts/binwise_recalibration.py)
+# ---------------------------------------------------------------------------
+
+
+def _load_binwise_module():
+    import importlib.util
+    import pathlib
+
+    path = pathlib.Path(__file__).parent.parent / "scripts" / "binwise_recalibration.py"
+    spec = importlib.util.spec_from_file_location("binwise_recalibration", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_binwise_geometry_matches_linear_bin_info():
+    mod = _load_binwise_module()
+    kgrid, bin_idx, valid, counts, n_bins = mod.linear_bin_geometry(64, 1.0)
+    ref_idx, ref_counts, ref_n_bins, ref_k = _linear_bin_info((64, 64), 1.0)
+    assert n_bins == ref_n_bins
+    np.testing.assert_array_equal(counts, ref_counts)
+    np.testing.assert_array_equal(
+        np.where(valid, bin_idx, n_bins), np.asarray(ref_idx)
+    )
+
+
+def test_binwise_factor_scales_measured_bins_exactly():
+    # The foundation of the artifact-only binwise experiment: multiplying
+    # every Fourier mode of linear bin b by q_b^(-1/2) scales the MEASURED
+    # linear-bin P(k) of bin b by exactly 1/q_b (the estimator is the
+    # unweighted mean over exactly those modes).
+    mod = _load_binwise_module()
+    n = 32
+    kgrid, bin_idx, valid, counts, n_bins = mod.linear_bin_geometry(n, 1.0)
+    rng = np.random.default_rng(7)
+    q = 1.0 + 0.05 * rng.standard_normal(n_bins)  # per-bin power factors
+    f = np.where(valid, 1.0 / np.sqrt(q[np.minimum(bin_idx, n_bins - 1)]), 1.0)
+    x = rng.standard_normal((3, n, n)).astype(np.float64)
+    xf = np.fft.fftn(x, axes=(-2, -1)) * f.reshape(n, n)
+    y = np.real(np.fft.ifftn(xf, axes=(-2, -1)))
+    _, pk_x = power_spectrum_batch(x)
+    _, pk_y = power_spectrum_batch(y)
+    pk_x, pk_y = np.asarray(pk_x).mean(0), np.asarray(pk_y).mean(0)
+    pop = counts > 0
+    np.testing.assert_allclose(pk_y[pop], pk_x[pop] / q[pop], rtol=2e-5)
+
+
+def test_binwise_recalibration_reproduces_committed_verdict(tmp_path):
+    # The committed negative result (SPEEDUP.md w=2 section) must be
+    # reproducible from the committed artifacts.
+    import json
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).parent.parent
+    art = repo / "artifacts" / "certification_r3"
+    if not (art / "sweep_w2_n4096.json").exists():
+        pytest.skip("certification artifacts not present")
+    out = tmp_path / "binwise_w2.json"
+    subprocess.run(
+        [sys.executable, str(repo / "scripts" / "binwise_recalibration.py"),
+         str(art), str(out)],
+        check=True, capture_output=True, text=True,
+    )
+    got = json.loads(out.read_text())
+    committed = json.loads((art / "binwise_w2.json").read_text())
+    assert got["verdict"] == committed["verdict"]
+    assert "does NOT validate" in got["verdict"]
+    assert got["rows"] == committed["rows"]
