@@ -52,14 +52,27 @@ def certified_serving_summary():
                     "noise_floor_max_pct": d["noise_floor_max_pct_indep"],
                 }
             )
-        except Exception:
+        except Exception as e:
+            # Never let a malformed artifact kill the bench, but don't drop
+            # the north-star serving rows silently either (stdout must stay
+            # one clean JSON line; warn on stderr).
+            print(
+                f"bench.py: skipping certification artifact {path}: {e!r}",
+                file=sys.stderr,
+            )
             continue
     return out
 
 
 def default_calibration_path(guide_w, serving_steps):
     """Committed spectral-calibration artifact for a (guidance, steps) pair,
-    or None when no matching artifact exists (SPEEDUP.md certified rows)."""
+    or None when no matching artifact exists (SPEEDUP.md certified rows).
+
+    Calibration fits are guidance-specific: a non-integral guide_w has no
+    committed artifact, and silently truncating (e.g. w=0.5 -> calib_w0)
+    would apply a filter fitted at a different guidance strength."""
+    if float(guide_w) != int(guide_w):
+        return None
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "artifacts", "certification_r3",
@@ -227,7 +240,8 @@ def main():
     # the chosen step count when one exists; CAMELS_CALIBRATION=none skips.
     calib = None
     if serving_mode:
-        calib_path = os.environ.get("CAMELS_CALIBRATION")
+        # Empty string == unset (the same convention as cli/sample.py).
+        calib_path = os.environ.get("CAMELS_CALIBRATION") or None
         if calib_path is None:
             calib_path = default_calibration_path(guide_w, serving_steps) or "none"
         if calib_path.lower() != "none":

@@ -347,15 +347,14 @@ def _load_pth_without_torch(path: str) -> Dict[str, np.ndarray]:
             # numpy lacks bfloat16: widen via uint16 bit pattern -> float32
             u16 = np.frombuffer(raw, np.uint16)
             arr_flat = (u16.astype(np.uint32) << 16).view(np.float32)
-            itemsize = 2
         else:
             npdt = _STORAGE_DTYPES[dtype_name]
             arr_flat = np.frombuffer(raw, npdt)
-            itemsize = arr_flat.dtype.itemsize
         if not size:
             return arr_flat[offset].copy()
+        # Tensor strides are in elements; arr_flat holds one element per
+        # original element (bf16 widened to f32), so its itemsize converts.
         byte_strides = tuple(int(s) * arr_flat.dtype.itemsize for s in stride)
-        del itemsize
         view = np.lib.stride_tricks.as_strided(
             arr_flat[offset:], shape=tuple(int(s) for s in size),
             strides=byte_strides, writeable=False,

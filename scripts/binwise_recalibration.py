@@ -50,15 +50,19 @@ STEPS = (500, 560, 620)
 
 
 def linear_bin_geometry(n: int = 64, dl: float = 1.0):
-    """Per-mode |k| + bin assignment of ops/spectrum.py's linear binning."""
+    """Per-mode |k| + bin assignment of ops/spectrum.py's linear binning.
+
+    Bin indices/counts come straight from the estimator's own
+    ``_linear_bin_info`` so the geometry cannot drift; only the per-mode
+    |k| grid (which the estimator never exposes) is computed here."""
+    from camels_diffusion_model_tpu.ops.spectrum import _linear_bin_info
+
+    bin_idx_j, counts, n_bins, _ = _linear_bin_info((n, n), dl)
+    bin_idx = np.asarray(bin_idx_j)  # overflow bucket == n_bins
+    valid = bin_idx < n_bins
     comps = [2 * np.pi * np.fft.fftfreq(n, dl)] * 2
     gy, gx = np.meshgrid(*comps, indexing="ij")
     kgrid = np.sqrt(gy**2 + gx**2).ravel()
-    dk = 2 * np.pi / (n * dl)
-    n_bins = int(np.ceil(kgrid.max() / dk)) + 1
-    bin_idx = np.rint(kgrid / dk).astype(np.int64)
-    valid = bin_idx < n_bins
-    counts = np.bincount(bin_idx[valid], minlength=n_bins)[:n_bins]
     return kgrid, bin_idx, valid, counts, n_bins
 
 

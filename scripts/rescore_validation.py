@@ -58,7 +58,12 @@ def rescore(sweep: dict, val: dict) -> dict:
         r["mean_err_vs_indep_pct"] = round(e_mean, 2)
         rows.append(r)
         is_ref_row = r["steps"] == val["timesteps"]
-        if not is_ref_row and e_max <= tol:
+        # Certification = BOTH clauses of the north star (certify_fast_sampler
+        # prints the same criterion): >=500 maps/min AND error inside the
+        # independent tolerance.  Without the throughput bar a slow row could
+        # land in certified_configs_independent and be surfaced by bench.py's
+        # certified-serving summary as "the certified serving row".
+        if not is_ref_row and e_max <= tol and r["maps_per_min"] >= 500:
             certified.append(r["config"])
     out["rows"] = rows
     out["certified_configs_independent"] = certified

@@ -36,5 +36,8 @@ rc=$?
 # is its own sweep: it carries the seed-A reference and the seed-B floor).
 python scripts/rescore_validation.py \
   "$OUT/certification.json" "$OUT/certification.json" \
-  -o "$OUT/certification.indep.json"
+  -o "$OUT/certification.indep.json" \
+  || { echo "independent rescoring failed"; exit 1; }
+[ -f "$OUT/certification.indep.json" ] \
+  || { echo "rescoring produced no certification.indep.json"; exit 1; }
 echo "=== N=16384 confirmation complete: $OUT/certification.indep.json ==="

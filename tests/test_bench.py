@@ -92,3 +92,17 @@ def test_default_calibration_path_resolution():
     assert p is not None and p.endswith("calib_w0_430.npz")
     assert default_calibration_path(0.0, 2) is None
     assert default_calibration_path(7.0, 430) is None
+
+
+def test_default_calibration_path_rejects_fractional_guidance():
+    # Calibration fits are guidance-specific; w=0.5 must not silently resolve
+    # the w=0 artifact via int() truncation.
+    sys.path.insert(0, REPO)
+    try:
+        from bench import default_calibration_path
+    finally:
+        sys.path.remove(REPO)
+    assert default_calibration_path(0.5, 430) is None
+    assert default_calibration_path(2.9, 500) is None
+    # Integral floats still resolve.
+    assert default_calibration_path(0.0, 430) is not None

@@ -62,3 +62,20 @@ def test_rescore_rejects_above_tolerance_and_skips_ref_rows():
     out = rescore(sweep, val)
     assert out["certify_tolerance_pct_indep"] == 1.0
     assert out["certified_configs_independent"] == []  # ref row never certifies
+
+
+def test_rescore_requires_throughput_bar():
+    # A row inside spectral tolerance but below 500 maps/min must NOT land in
+    # certified_configs_independent: certification is BOTH north-star clauses.
+    k = np.array([0.0, 1.0, 2.0, 3.0])
+    pk_a = np.array([1.0, 10.0, 10.0, 10.0])
+    pk_b = np.array([1.0, 10.2, 10.0, 10.0])
+    slow = {"config": "accurate but slow", "steps": 10, "maps_per_min": 300.0,
+            "max_err_vs_ddpm1500_pct": 0.0, "mean_err_vs_ddpm1500_pct": 0.0,
+            "pk": list(pk_a)}
+    fast = {"config": "accurate and fast", "steps": 10, "maps_per_min": 800.0,
+            "max_err_vs_ddpm1500_pct": 0.0, "mean_err_vs_ddpm1500_pct": 0.0,
+            "pk": list(pk_a)}
+    sweep, val = _mk(k, pk_a, pk_b, [slow, fast])
+    out = rescore(sweep, val)
+    assert out["certified_configs_independent"] == ["accurate and fast"]
