@@ -84,6 +84,9 @@ def main():
     # Calibrated strided rows, out-of-sample validation of a fitted
     # spectral calibration (scripts/fit_calibration.py): "steps:calib.npz"
     ap.add_argument("--calibrated", nargs="*", default=[])
+    # Train + checkpoint only (for [re]creating the reference-scale model,
+    # e.g. under artifacts/certification_r3/model); the sweep is skipped.
+    ap.add_argument("--train-only", action="store_true")
     args = ap.parse_args()
     os.makedirs(args.outdir, exist_ok=True)
 
@@ -176,6 +179,11 @@ def main():
                   f"({time.time() - t0:.1f}s)", flush=True)
             if (ep + 1) % 10 == 0 or ep == args.epochs - 1:
                 save_train_checkpoint(state, ep + 1, train_key, ckpt_path)
+
+    if args.train_only:
+        print(f"--train-only: checkpoint at {ckpt_path}; skipping the sweep",
+              flush=True)
+        return
 
     inf_model, inf_vars = fold_inference(
         model, {"params": state.params, "batch_stats": state.batch_stats}

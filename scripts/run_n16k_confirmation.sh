@@ -16,7 +16,13 @@
 #      stage-B winner), N16K_SRC the stage-A outdir with the checkpoint.
 set -uo pipefail
 cd "$(dirname "$0")/.."
-SRC=${N16K_SRC:-/tmp/cert_r3_w2}
+# Default checkpoint: the committed reference-scale model under artifacts/
+# (a FRESH 300-epoch retrain — /tmp is wiped between rounds, so the original
+# d9dec39f... checkpoint behind the committed stage-A/B jsons is gone; a new
+# checkpoint means stage A must be re-run to refit the calibration before
+# this confirmation, e.g. via run_w2_certification.sh with W2_SRC pointed
+# here).
+SRC=${N16K_SRC:-artifacts/certification_r3/model}
 OUT=${N16K_OUT:-/tmp/cert_r3_w2_n16k}
 STEPS=${N16K_STEPS:-560}
 CALIB=${N16K_CALIB:-/tmp/calib_w2_560.npz}
