@@ -22,36 +22,74 @@ import time
 import numpy as np
 
 
-def certified_serving_summary():
+def _committed_checkpoint_md5(art_dir):
+    """md5 of the committed certification checkpoint, or None if absent."""
+    import hashlib
+
+    ckpt = os.path.join(art_dir, "model", "train_state.msgpack")
+    if not os.path.exists(ckpt):
+        return None
+    h = hashlib.md5()
+    with open(ckpt, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def certified_serving_summary(art_dir=None):
     """Compact summaries of the committed certified serving rows
-    (artifacts/certification_r3/validation_w*_calibrated.indep.json) for the
+    (artifacts/certification/validation_w*_calibrated.indep.json) for the
     default-mode JSON line, so every BENCH_r* records the north-star serving
-    numbers alongside the exact-CFG headline.  Empty list if no artifacts."""
+    numbers alongside the exact-CFG headline.  Empty list if no artifacts.
+
+    Every quoted row is VERIFIED against the committed checkpoint: the
+    artifact's ``checkpoint_fingerprint`` (stamped by certify_fast_sampler at
+    sweep time) must equal the md5 of artifacts/certification/model/
+    train_state.msgpack, or the artifact is dropped with a stderr warning —
+    the round-3 failure mode (certified numbers quoting a lost model's
+    artifacts) can no longer happen silently."""
     import glob
 
     out = []
-    pat = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "artifacts", "certification_r3", "validation_w*_calibrated.indep.json",
-    )
+    if art_dir is None:
+        art_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "artifacts",
+            "certification",
+        )
+    ckpt_md5 = _committed_checkpoint_md5(art_dir)
+    pat = os.path.join(art_dir, "validation_w*_calibrated.indep.json")
     for path in sorted(glob.glob(pat)):
         try:
             with open(path) as f:
                 d = json.load(f)
+            fp = d.get("checkpoint_fingerprint")
+            if ckpt_md5 is None or fp != ckpt_md5:
+                print(
+                    f"bench.py: dropping certification artifact {path}: "
+                    f"checkpoint_fingerprint {fp!r} does not match the "
+                    f"committed checkpoint ({ckpt_md5!r}) — the certified "
+                    "rows were produced by a different model; re-run "
+                    "scripts/run_w2_certification.sh",
+                    file=sys.stderr,
+                )
+                continue
             certified = set(d.get("certified_configs_independent") or [])
             rows = [r for r in d["rows"] if r["config"] in certified]
             if not rows:
                 continue
             best = max(rows, key=lambda r: r["maps_per_min"])
-            out.append(
-                {
-                    "guide_w": d["guide_w"],
-                    "config": best["config"],
-                    "maps_per_min": best["maps_per_min"],
-                    "max_err_vs_indep_pct": best["max_err_vs_indep_pct"],
-                    "noise_floor_max_pct": d["noise_floor_max_pct_indep"],
-                }
-            )
+            summary = {
+                "guide_w": d["guide_w"],
+                "config": best["config"],
+                "maps_per_min": best["maps_per_min"],
+                "max_err_vs_indep_pct": best["max_err_vs_indep_pct"],
+                "noise_floor_max_pct": d["noise_floor_max_pct_indep"],
+                "checkpoint_fingerprint": fp,
+            }
+            full = d.get("certified_full_battery_independent")
+            if full is not None:
+                summary["certified_full_battery"] = best["config"] in full
+            out.append(summary)
         except Exception as e:
             # Never let a malformed artifact kill the bench, but don't drop
             # the north-star serving rows silently either (stdout must stay
@@ -75,7 +113,7 @@ def default_calibration_path(guide_w, serving_steps):
         return None
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        "artifacts", "certification_r3",
+        "artifacts", "certification",
         f"calib_w{int(guide_w)}_{serving_steps}.npz",
     )
     return path if os.path.exists(path) else None
@@ -160,13 +198,107 @@ def bench_train():
     )
 
 
+def bench_sharded_sample():
+    """BENCH_MODE=sharded_sample: mesh-sharded CFG sampling over ALL visible
+    devices — maps/min/chip plus scaling efficiency vs a single-device run of
+    the same per-chip batch.  The samplers' ``mesh=`` path (parallel/mesh.py,
+    tested in test_parallel.py) shards the batch dimension over ICI; on a
+    multi-chip host this measures real scaling with zero new code, and in CI
+    it runs on the 8-device virtual CPU mesh (test_bench_contract.py).
+
+    Prints ONE JSON line: value = maps/min/chip on the full mesh;
+    ``scaling_efficiency`` = sharded whole-mesh throughput / (n_devices x
+    single-device throughput at the same per-chip batch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from camels_diffusion_model_tpu.diffusion import make_schedule, sample_ddpm
+    from camels_diffusion_model_tpu.models import ContextUnet
+    from camels_diffusion_model_tpu.models.fold_bn import fold_inference
+    from camels_diffusion_model_tpu.parallel import make_mesh
+
+    platform = jax.devices()[0].platform
+    on_accel = platform != "cpu"
+    n_dev = len(jax.devices())
+    per_chip = int(os.environ.get("BENCH_BATCH", 128 if on_accel else 4))
+    timesteps = int(os.environ.get("BENCH_TIMESTEPS", 1500 if on_accel else 8))
+    guide_w = float(os.environ.get("BENCH_GUIDE_W", 2.0))
+    dtype = jnp.bfloat16 if on_accel else jnp.float32
+
+    model = ContextUnet(
+        in_channels=1, n_feat=128, n_cfeat=6, height=64, levels=2, dtype=dtype
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, 64, 64, 1), np.float32),
+        np.array([0.5], np.float32),
+    )
+    model, variables = fold_inference(model, variables)
+    schedule = make_schedule(timesteps)
+    mesh = make_mesh(n_dev)
+    total = per_chip * n_dev
+    params = jnp.asarray(
+        np.random.RandomState(0).rand(total, 6).astype(np.float32)
+    )
+
+    def run(seed, n, use_mesh):
+        return sample_ddpm(
+            model, variables, schedule, jax.random.PRNGKey(seed),
+            n_sample=n, size=64, params=params[:n], guide_w=guide_w,
+            mesh=mesh if use_mesh else None, measure_timing=False,
+        ).x
+
+    def force(x):
+        return float(jnp.abs(x).sum())
+
+    def best_of(fn, repeats=3):
+        fn(0)  # compile + warm
+        times = []
+        for seed in range(1, repeats + 1):
+            t0 = time.time()
+            force(fn(seed))
+            times.append(time.time() - t0)
+        return min(times)
+
+    t_single = best_of(lambda s: run(s, per_chip, False))
+    t_sharded = best_of(lambda s: run(s, total, True))
+    single_tp = per_chip / t_single          # maps/sec, one device
+    sharded_tp = total / t_sharded           # maps/sec, whole mesh
+    efficiency = sharded_tp / (n_dev * single_tp)
+    maps_per_min_chip = sharded_tp / n_dev * 60.0
+    print(
+        json.dumps(
+            {
+                "metric": "sharded_cfg_sampling_throughput_64x64_t%d"
+                % timesteps,
+                "value": round(maps_per_min_chip, 2),
+                "unit": "maps/min/chip",
+                "vs_baseline": round(maps_per_min_chip / 33.0, 3),
+                "n_devices": n_dev,
+                "batch_per_chip": per_chip,
+                "total_batch": total,
+                "guide_w": guide_w,
+                "platform": platform,
+                "scaling_efficiency": round(efficiency, 3),
+                "single_device_maps_per_min": round(single_tp * 60.0, 2),
+                "seconds_per_run": round(t_sharded, 3),
+            }
+        )
+    )
+
+
 def main():
     import jax
 
     # CAMELS_FORCE_CPU=1: host-only smoke runs (the axon TPU plugin ignores
     # the JAX_PLATFORMS env var; only the config API works — CLAUDE.md).
+    # CAMELS_CPU_DEVICES=N adds N virtual CPU devices so the sharded bench
+    # mode exercises a real multi-device mesh in CI.
     if os.environ.get("CAMELS_FORCE_CPU") == "1":
         jax.config.update("jax_platforms", "cpu")
+        n_cpu = int(os.environ.get("CAMELS_CPU_DEVICES", "0"))
+        if n_cpu > 1:
+            jax.config.update("jax_num_cpu_devices", n_cpu)
 
     # BENCH_PRNG=rbg: use the TPU-native RBG PRNG for the per-step noise
     # draws instead of threefry (JAX's default).  Threefry is bitwise
@@ -185,6 +317,9 @@ def main():
 
     if os.environ.get("BENCH_MODE") == "train":
         bench_train()
+        return
+    if os.environ.get("BENCH_MODE") == "sharded_sample":
+        bench_sharded_sample()
         return
     ddim_mode = os.environ.get("BENCH_MODE") == "ddim"
     # serving mode: the certified strided-DDPM configuration (SPEEDUP.md) —

@@ -63,7 +63,18 @@ class SpectralCalibration:
         r = np.polyval(np.asarray(self.coeffs, np.float64), k)
         return np.clip(r, self.clip[0], self.clip[1])
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, meta: dict | None = None) -> None:
+        """Save the filter, optionally with provenance metadata.
+
+        ``meta`` entries land as ``meta_<key>`` npz arrays (scalars/strings).
+        The load path ignores them; :func:`load_calibration_meta` reads them
+        back.  Stamping ``checkpoint_fingerprint`` (the md5 of the checkpoint
+        the fit's sweep ran on) is what lets the certifier refuse to pair a
+        calibration with a retrained model — calibrations are model-specific.
+        """
+        extra = {}
+        for key, val in (meta or {}).items():
+            extra[f"meta_{key}"] = np.asarray(val)
         np.savez(
             path,
             coeffs=np.asarray(self.coeffs, np.float64),
@@ -71,6 +82,7 @@ class SpectralCalibration:
             k_max=self.k_max,
             dl=self.dl,
             clip=np.asarray(self.clip, np.float64),
+            **extra,
         )
 
     @staticmethod
@@ -83,6 +95,24 @@ class SpectralCalibration:
             dl=float(z["dl"]),
             clip=(float(z["clip"][0]), float(z["clip"][1])),
         )
+
+
+def load_calibration_meta(path: str) -> dict:
+    """Provenance metadata stamped into a calibration npz at save time.
+
+    Returns ``{}`` for legacy (pre-stamping) files.  Keys of interest:
+    ``checkpoint_fingerprint`` — md5 of the train_state.msgpack the fit's
+    sweep was generated with; consumers (scripts/certify_fast_sampler.py,
+    bench.py) must reject a calibration whose stamp does not match the
+    checkpoint in use.
+    """
+    z = np.load(path)
+    out = {}
+    for name in z.files:
+        if name.startswith("meta_"):
+            v = z[name]
+            out[name[len("meta_"):]] = v.item() if v.ndim == 0 else v.tolist()
+    return out
 
 
 def fit_spectral_transfer(

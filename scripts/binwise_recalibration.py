@@ -21,7 +21,7 @@ committed certification artifacts alone, with full out-of-sample honesty:
     authoritative protocol as scripts/rescore_validation.py.  Stage B's
     seeds were never seen by the fit, so the scoring cannot be gamed.
 
-Measured verdict (artifacts/certification_r3/binwise_w2.json): the binwise
+Measured verdict (artifacts/certification/binwise_w2.json): the binwise
 correction does NOT validate — at 500 steps max error moves 1.73% -> 1.81%
 and the A->B residual correlation is only ~0.5, i.e. about half the stage-A
 residual is estimator noise, which the binwise division injects into stage B.
@@ -37,11 +37,12 @@ Pure numpy / committed-artifact analysis — no TPU, no model checkpoint.
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from camels_diffusion_model_tpu.diffusion.calibration import SpectralCalibration
 
@@ -80,7 +81,7 @@ def poly_eff_per_bin(calib: SpectralCalibration, kgrid, bin_idx, valid, counts, 
 
 
 def main():
-    art = sys.argv[1] if len(sys.argv) > 1 else "artifacts/certification_r3"
+    art = sys.argv[1] if len(sys.argv) > 1 else "artifacts/certification"
     out_path = sys.argv[2] if len(sys.argv) > 2 else f"{art}/binwise_w2.json"
     sweep = json.load(open(f"{art}/sweep_w2_n4096.json"))
     val = json.load(open(f"{art}/validation_w2_calibrated.indep.json"))

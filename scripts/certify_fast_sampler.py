@@ -18,9 +18,20 @@ sampler on the SAME trained checkpoint.  This script:
    (eta=0) at reduced step counts;
 4. computes each config's mean P(k) and the band-max/mean |ratio - 1|
    against (a) the DDPM-1500 output and (b) the training data;
-5. measures per-config throughput at the bench batch size;
-6. writes a markdown table + JSON (-> SPEEDUP.md, BENCH_r02 context).
-   Certification = >=500 maps/min AND max error <= max(1%, noise floor).
+5. scores the reference's FULL statistical battery per config, not just the
+   spectrum: pixel-PDF total-variation distance (compare_distributions
+   semantics, train_diffusion_paper.py:861-905) and ELBO/BPD of the
+   generated maps under the model (paper form, :77-139) — each with its own
+   independent-seed noise floor;
+6. measures per-config throughput at the bench batch size;
+7. writes a markdown table + JSON (-> SPEEDUP.md, BENCH_r02 context).
+   Certification = >=500 maps/min AND max error <= max(1%, noise floor);
+   ``certified_full_battery`` additionally requires the pixel-PDF and BPD
+   clauses (tolerance = max(their floors, 1%)).
+
+Every certification.json is stamped with the md5 of the checkpoint it ran on
+(``checkpoint_fingerprint``); calibration npz files carry the same stamp from
+fit time and are REJECTED here when they do not match the checkpoint in use.
 
 Usage: python scripts/certify_fast_sampler.py /tmp/cert [epochs]
                                               [--skip-train] [--eval-maps N]
@@ -85,7 +96,7 @@ def main():
     # spectral calibration (scripts/fit_calibration.py): "steps:calib.npz"
     ap.add_argument("--calibrated", nargs="*", default=[])
     # Train + checkpoint only (for [re]creating the reference-scale model,
-    # e.g. under artifacts/certification_r3/model); the sweep is skipped.
+    # e.g. under artifacts/certification/model); the sweep is skipped.
     ap.add_argument("--train-only", action="store_true")
     args = ap.parse_args()
     os.makedirs(args.outdir, exist_ok=True)
@@ -106,6 +117,9 @@ def main():
     from camels_diffusion_model_tpu.data.pipeline import num_batches
     from camels_diffusion_model_tpu.diffusion import make_schedule, sample_ddpm
     from camels_diffusion_model_tpu.diffusion.ddim import sample_ddim
+    from camels_diffusion_model_tpu.diffusion.likelihood import (
+        calculate_elbo_and_bpd,
+    )
     from camels_diffusion_model_tpu.models import ContextUnet
     from camels_diffusion_model_tpu.models.fold_bn import fold_inference
     from camels_diffusion_model_tpu.ops.spectrum import power_spectrum_batch
@@ -234,12 +248,45 @@ def main():
         slug = "".join(c if c.isalnum() else "_" for c in label)
         return os.path.join(pk_cache_dir, f"{slug}.npz")
 
+    # ---- full statistical battery (beyond P(k)) ----------------------------
+    # Pixel-PDF: the reference's compare_distributions
+    # (train_diffusion_paper.py:861-905) histograms pixels at bin width 0.01.
+    # A FIXED bin grid (the reference's joint-min/max grid would change per
+    # config) lets per-chunk counts accumulate; with equal pixel counts per
+    # map, the pooled density equals the reference's mean of per-map
+    # densities.  Distance metric: total-variation, 0.5*sum|p-q|*delta.
+    PDF_DELTA = 0.01
+    PDF_BINS = np.arange(-3.0, 3.0 + PDF_DELTA / 2, PDF_DELTA)
+    # ELBO/BPD (paper form, train_diffusion_paper.py:77-139) of the generated
+    # maps under the model: scored on the first chunk with a FIXED rng so the
+    # 10 (t, noise) draws are identical across configs — differences are the
+    # maps', not the estimator's.
+    ELBO_SEED = 4242
+
+    def pdf_tv(p, q):
+        return float(
+            0.5 * np.abs(np.asarray(p) - np.asarray(q)).sum() * PDF_DELTA
+        )
+
+    def gen_elbo_bpd(maps_np, params_np):
+        return calculate_elbo_and_bpd(
+            inf_model, inf_vars, schedule,
+            [(maps_np, params_np)], jax.random.PRNGKey(ELBO_SEED),
+        )
+
+    import collections
+
+    GenStats = collections.namedtuple("GenStats", "k pk pdf elbo bpd")
+
     def gen_mean_pk(sample_slice, label, extra_key=""):
         """sample_slice(x0, params, slice_seed) -> (B, 64, 64, 1) maps; same
         per-slice x_init for every config (shared PRNGKey(100+si)).
 
         ``extra_key`` folds config state the label can't see into the cache
-        fingerprint (e.g. the calibration file's content hash)."""
+        fingerprint (e.g. the calibration file's content hash).
+
+        Returns GenStats: mean P(k), pooled pixel PDF on the fixed battery
+        grid, and ELBO/BPD of the first chunk under the model."""
         cache_path = _pk_cache_path(label)
         want_fp = proto_fp + (f":{extra_key}" if extra_key else "")
         if os.path.exists(cache_path):
@@ -247,17 +294,24 @@ def main():
             # A cache must carry a fingerprint matching the current
             # checkpoint + protocol exactly; legacy caches without one are
             # treated as stale (they could have come from ANY checkpoint).
+            # Caches predating the full-battery fields (pdf/elbo) are stale
+            # too — regeneration is the only way to score them.
             fp_ok = ("fingerprint" in c.files
                      and str(c["fingerprint"]) == want_fp)
             if (int(c["n_eval"]) == n_eval
-                    and float(c["guide_w"]) == args.guide_w and fp_ok):
+                    and float(c["guide_w"]) == args.guide_w and fp_ok
+                    and "pdf" in c.files and "bpd" in c.files):
                 print(f"  {label}: cached ({cache_path})", flush=True)
-                return c["k"], c["pk"]
+                return GenStats(c["k"], c["pk"], c["pdf"],
+                                float(c["elbo"]), float(c["bpd"]))
             print(f"  {label}: stale cache ignored ({cache_path})",
                   flush=True)
         t0 = time.time()
         acc = None
         k_out = None
+        hist_acc = np.zeros(PDF_BINS.size - 1, np.int64)
+        n_pix = 0
+        elbo = bpd = None
         for si in range(n_eval // gen_batch):
             x0 = jax.random.normal(
                 jax.random.PRNGKey(100 + si), (gen_batch, 64, 64, 1),
@@ -265,17 +319,25 @@ def main():
             )
             pp = jnp.asarray(eval_params_np[si * gen_batch:(si + 1) * gen_batch])
             maps = sample_slice(x0, pp, si)
-            k_out, pk = power_spectrum_batch(
-                np.asarray(maps, np.float32)[..., 0]
-            )
+            maps_np = np.asarray(maps, np.float32)
+            h, _ = np.histogram(maps_np, PDF_BINS)
+            hist_acc += h
+            n_pix += maps_np.size
+            if si == 0:
+                elbo, bpd = gen_elbo_bpd(
+                    maps_np, eval_params_np[:maps_np.shape[0]]
+                )
+            k_out, pk = power_spectrum_batch(maps_np[..., 0])
             pk = np.asarray(pk)
             acc = pk.sum(axis=0) if acc is None else acc + pk.sum(axis=0)
         print(f"  {label}: {n_eval} maps in {time.time() - t0:.1f}s",
               flush=True)
         k_out, mean_pk = np.asarray(k_out), acc / n_eval
+        pdf = hist_acc / (n_pix * PDF_DELTA)
         np.savez(cache_path, k=k_out, pk=mean_pk, n_eval=n_eval,
-                 guide_w=args.guide_w, fingerprint=want_fp)
-        return k_out, mean_pk
+                 guide_w=args.guide_w, fingerprint=want_fp,
+                 pdf=pdf, elbo=elbo, bpd=bpd)
+        return GenStats(k_out, mean_pk, pdf, float(elbo), float(bpd))
 
     def ddpm_slice(seed_base):
         return lambda x0, pp, si: sample_ddpm(
@@ -309,13 +371,37 @@ def main():
         k_bins = np.asarray(prev["k_bins"])
         pk_ddpm = np.asarray(prev["pk_ddpm_ref"])
         pk_data = np.asarray(prev["pk_data"])
+        for field in ("pdf_ddpm_ref", "pdf_data", "bpd_ddpm_ref", "bpd_data",
+                      "elbo_ddpm_ref"):
+            assert field in prev, (
+                f"--ref-from json predates the full statistical battery "
+                f"(missing {field}); regenerate the sweep"
+            )
+        pdf_ddpm = np.asarray(prev["pdf_ddpm_ref"])
+        pdf_data = np.asarray(prev["pdf_data"])
+        elbo_ddpm, bpd_ddpm = prev["elbo_ddpm_ref"], prev["bpd_ddpm_ref"]
+        bpd_data = prev["bpd_data"]
         print(f"reference spectra reused from {args.ref_from}", flush=True)
     else:
         print(f"reference: DDPM {T}-step CFG w={args.guide_w}, "
               f"{n_eval} maps...", flush=True)
-        k_bins, pk_ddpm = gen_mean_pk(ddpm_slice(200), f"DDPM-{T} seed A")
+        ref_stats = gen_mean_pk(ddpm_slice(200), f"DDPM-{T} seed A")
+        k_bins, pk_ddpm = ref_stats.k, ref_stats.pk
+        pdf_ddpm, elbo_ddpm, bpd_ddpm = (
+            ref_stats.pdf, ref_stats.elbo, ref_stats.bpd
+        )
         _, pk_data_all = power_spectrum_batch(ds.train_x[:n_eval, ..., 0])
         pk_data = np.asarray(pk_data_all).mean(axis=0)
+        # Training-data battery references: pooled pixel PDF over the same
+        # number of maps, and BPD of real data under the model.
+        data_maps = np.asarray(ds.train_x[:n_eval], np.float32)
+        h_data, _ = np.histogram(data_maps, PDF_BINS)
+        pdf_data = h_data / (data_maps.size * PDF_DELTA)
+        _, bpd_data = gen_elbo_bpd(
+            data_maps[:gen_batch], np.asarray(ds.train_c[:gen_batch])
+        )
+        bpd_data = float(bpd_data)
+        del data_maps
 
     # populated, non-DC bins (the k=0 bin and empty high-k bins are excluded
     # exactly like the reference's "populated bins" logging)
@@ -343,10 +429,11 @@ def main():
 
     rows = []
 
-    def add_row(config, steps, tp, pk, note=""):
+    def add_row(config, steps, tp, pk, pdf=None, elbo=None, bpd=None,
+                note=""):
         e_ddpm = spectral_err(pk, pk_ddpm)
         e_data = spectral_err(pk, pk_data)
-        rows.append({
+        row = {
             "config": config,
             "steps": steps,
             "maps_per_min": round(tp, 1) if tp is not None else None,
@@ -357,21 +444,42 @@ def main():
             "note": note,
             # per-bin data for post-hoc analysis (which k carries the error)
             "pk": [float(v) for v in pk],
-        })
+        }
+        if pdf is not None:
+            row["pdf"] = [float(v) for v in pdf]
+            row["pdf_tv_vs_ddpm1500"] = round(pdf_tv(pdf, pdf_ddpm), 5)
+            row["pdf_tv_vs_data"] = round(pdf_tv(pdf, pdf_data), 5)
+        if bpd is not None:
+            row["elbo"] = round(float(elbo), 7)
+            row["bpd"] = round(float(bpd), 10)
+            row["bpd_delta_vs_ddpm1500"] = round(float(bpd) - bpd_ddpm, 10)
+        rows.append(row)
+        battery = ""
+        if pdf is not None and bpd is not None:
+            battery = (f"; pdf TV {row['pdf_tv_vs_ddpm1500']:.4f}, "
+                       f"dBPD {row['bpd_delta_vs_ddpm1500']:+.2e}")
         print(f"  {config}: max|Pk ratio-1| vs DDPM-{T}: "
-              f"{100 * e_ddpm[0]:.2f}% (mean {100 * e_ddpm[1]:.2f}%)",
+              f"{100 * e_ddpm[0]:.2f}% (mean {100 * e_ddpm[1]:.2f}%)"
+              f"{battery}",
               flush=True)
         return e_ddpm
 
     if prev is not None:
         tp_ddpm = prev["rows"][0]["maps_per_min"]
-        add_row(f"DDPM {T} (reference math)", T, tp_ddpm, pk_ddpm)
+        add_row(f"DDPM {T} (reference math)", T, tp_ddpm, pk_ddpm,
+                pdf=pdf_ddpm, elbo=elbo_ddpm, bpd=bpd_ddpm)
         floor_row = next(
             r for r in prev["rows"] if "independent seed" in r["config"]
         )
+        assert "pdf" in floor_row and "bpd" in floor_row, (
+            "--ref-from noise-floor row predates the full statistical "
+            "battery; regenerate the sweep"
+        )
         floor = add_row(
             f"DDPM {T}, independent seed", T, tp_ddpm,
-            np.asarray(floor_row["pk"]), note="estimator noise floor",
+            np.asarray(floor_row["pk"]), pdf=np.asarray(floor_row["pdf"]),
+            elbo=floor_row["elbo"], bpd=floor_row["bpd"],
+            note="estimator noise floor",
         )
     else:
         tp_ddpm = throughput(lambda s: sample_ddpm(
@@ -379,7 +487,8 @@ def main():
             n_sample=args.bench_batch, size=64, params=bench_params,
             guide_w=args.guide_w, measure_timing=False,
         ))
-        add_row(f"DDPM {T} (reference math)", T, tp_ddpm, pk_ddpm)
+        add_row(f"DDPM {T} (reference math)", T, tp_ddpm, pk_ddpm,
+                pdf=pdf_ddpm, elbo=elbo_ddpm, bpd=bpd_ddpm)
         print(f"DDPM-{T}: {tp_ddpm:.1f} maps/min", flush=True)
 
         # Noise floor: an INDEPENDENT full-step DDPM run (different sampling
@@ -395,11 +504,16 @@ def main():
                 guide_w=args.guide_w, measure_timing=False,
             ).x
 
-        _, pk_ddpm_b = gen_mean_pk(ddpm_slice_b(7000), f"DDPM-{T} seed B")
+        stats_b = gen_mean_pk(ddpm_slice_b(7000), f"DDPM-{T} seed B")
         floor = add_row(
-            f"DDPM {T}, independent seed", T, tp_ddpm, pk_ddpm_b,
+            f"DDPM {T}, independent seed", T, tp_ddpm, stats_b.pk,
+            pdf=stats_b.pdf, elbo=stats_b.elbo, bpd=stats_b.bpd,
             note="estimator noise floor",
         )
+    # The floor row's own battery distances vs seed A ARE the battery floors.
+    floor_row_d = rows[1]
+    pdf_floor_tv = floor_row_d.get("pdf_tv_vs_ddpm1500")
+    bpd_floor = abs(floor_row_d.get("bpd_delta_vs_ddpm1500", 0.0))
 
     # "strided DDPM" = the reference chain's own (beta-variance) update with
     # composite-alpha jumps — the only family that converges to the
@@ -420,7 +534,7 @@ def main():
         for family, eta, smode in families:
             label = f"{family} {n_steps}"
             print(f"{label}...", flush=True)
-            _, pk = gen_mean_pk(
+            st = gen_mean_pk(
                 ddim_slice(n_steps, eta, 300 + n_steps, smode), label
             )
             tp = throughput(lambda s: sample_ddim(
@@ -429,8 +543,8 @@ def main():
                 guide_w=args.guide_w, n_steps=n_steps, eta=eta,
                 sigma_mode=smode,
             ))
-            add_row(label, n_steps, tp, pk,
-                    note=f"eta={eta:g}, sigma={smode}")
+            add_row(label, n_steps, tp, st.pk, pdf=st.pdf, elbo=st.elbo,
+                    bpd=st.bpd, note=f"eta={eta:g}, sigma={smode}")
             print(f"  {tp:.1f} maps/min", flush=True)
 
     from camels_diffusion_model_tpu.diffusion.dpm_solver import sample_dpm2m
@@ -446,13 +560,14 @@ def main():
                 guide_w=args.guide_w, n_steps=n_steps, x_init=x0,
             ).x
 
-        _, pk = gen_mean_pk(dpm_slice, label)
+        st = gen_mean_pk(dpm_slice, label)
         tp = throughput(lambda s, n_steps=n_steps: sample_dpm2m(
             inf_model, inf_vars, schedule, jax.random.PRNGKey(s),
             n_sample=args.bench_batch, size=64, params=bench_params,
             guide_w=args.guide_w, n_steps=n_steps,
         ))
-        add_row(label, n_steps, tp, pk, note="2nd-order ODE")
+        add_row(label, n_steps, tp, st.pk, pdf=st.pdf, elbo=st.elbo,
+                bpd=st.bpd, note="2nd-order ODE")
         print(f"  {tp:.1f} maps/min", flush=True)
 
     from camels_diffusion_model_tpu.diffusion.ddim import hybrid_timesteps
@@ -473,13 +588,14 @@ def main():
                 sigma_mode="beta",
             ).x
 
-        _, pk = gen_mean_pk(hybrid_slice, label)
+        st = gen_mean_pk(hybrid_slice, label)
         tp = throughput(lambda s, taus_h=taus_h: sample_ddim(
             inf_model, inf_vars, schedule, jax.random.PRNGKey(s),
             n_sample=args.bench_batch, size=64, params=bench_params,
             guide_w=args.guide_w, taus=taus_h, sigma_mode="beta",
         ))
-        add_row(label, len(taus_h), tp, pk, note=f"eta=1, {spec}")
+        add_row(label, len(taus_h), tp, st.pk, pdf=st.pdf, elbo=st.elbo,
+                bpd=st.bpd, note=f"eta=1, {spec}")
         print(f"  {tp:.1f} maps/min", flush=True)
 
     # Calibrated rows: strided DDPM + the fixed radial spectral-calibration
@@ -492,11 +608,30 @@ def main():
         from camels_diffusion_model_tpu.diffusion.calibration import (
             SpectralCalibration,
             apply_spectral_calibration,
+            load_calibration_meta,
         )
 
         for spec in args.calibrated:
             steps_s, _, calib_path = spec.partition(":")
             c_steps = int(steps_s)
+            # Calibrations are model-specific: refuse any npz whose fit-time
+            # checkpoint stamp is absent or does not match the checkpoint in
+            # use (round-3 failure mode: committed calibrations silently
+            # outlived their checkpoint).
+            calib_meta = load_calibration_meta(calib_path)
+            calib_fp = calib_meta.get("checkpoint_fingerprint")
+            if calib_fp is None:
+                raise SystemExit(
+                    f"calibration {calib_path} carries no "
+                    "checkpoint_fingerprint stamp — refit it with "
+                    "scripts/fit_calibration.py from a stamped sweep"
+                )
+            if calib_fp != ckpt_fp:
+                raise SystemExit(
+                    f"calibration {calib_path} was fitted to checkpoint "
+                    f"{calib_fp}, not the one in use ({ckpt_fp}) — re-run "
+                    "stage A on this checkpoint and refit"
+                )
             calib = SpectralCalibration.load(calib_path)
             label = f"strided DDPM {c_steps} + spectral calibration"
             print(f"{label}...", flush=True)
@@ -511,7 +646,7 @@ def main():
                 ).x
                 return apply_spectral_calibration(maps, calib)
 
-            _, pk = gen_mean_pk(
+            st = gen_mean_pk(
                 calib_slice, label, extra_key=_file_md5(calib_path)
             )
 
@@ -527,24 +662,29 @@ def main():
                 )
 
             tp = throughput(calib_bench)
-            add_row(label, c_steps, tp, pk,
-                    note=f"calibration {os.path.basename(calib_path)}, "
-                         f"fresh-seed validation")
+            add_row(label, c_steps, tp, st.pk, pdf=st.pdf, elbo=st.elbo,
+                    bpd=st.bpd,
+                    note=f"calibration {os.path.basename(calib_path)} "
+                         f"(ckpt {calib_fp[:8]}), fresh-seed validation")
             print(f"  {tp:.1f} maps/min", flush=True)
 
     # ---- report -------------------------------------------------------------
     md = [
         "| Config | model evals/map | maps/min/chip | max \\|P(k) ratio-1\\| "
         "vs DDPM-1500 | mean vs DDPM-1500 | max vs training data | "
-        "mean vs data |",
-        "|---|---|---|---|---|---|---|",
+        "mean vs data | pixel-PDF TV vs DDPM-1500 | BPD delta |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
+        tv = r.get("pdf_tv_vs_ddpm1500")
+        db = r.get("bpd_delta_vs_ddpm1500")
         md.append(
             f"| {r['config']} | {r['steps']} | {r['maps_per_min']} | "
             f"{r['max_err_vs_ddpm1500_pct']}% | "
             f"{r['mean_err_vs_ddpm1500_pct']}% | "
-            f"{r['max_err_vs_data_pct']}% | {r['mean_err_vs_data_pct']}% |"
+            f"{r['max_err_vs_data_pct']}% | {r['mean_err_vs_data_pct']}% | "
+            f"{tv if tv is not None else '-'} | "
+            f"{f'{db:+.2e}' if db is not None else '-'} |"
         )
     table = "\n".join(md)
     print("\n" + table)
@@ -561,6 +701,20 @@ def main():
         and r["max_err_vs_ddpm1500_pct"] <= tol
         and "independent seed" not in r["config"]
     ]
+    # Full-battery certification: the spectral clause AND the reference's
+    # other statistics — pixel-PDF TV within max(floor, 0.01) (1% of the
+    # probability mass) and |BPD delta| within max(floor, 1% of the
+    # reference BPD magnitude).  Floors come from the independent-seed row,
+    # same protocol as the spectrum.
+    pdf_tol = max(0.01, pdf_floor_tv) if pdf_floor_tv is not None else None
+    bpd_tol = max(0.01 * abs(bpd_ddpm), bpd_floor)
+    certified_full = [
+        r for r in certified
+        if pdf_tol is not None and r.get("pdf_tv_vs_ddpm1500") is not None
+        and r["pdf_tv_vs_ddpm1500"] <= pdf_tol
+        and r.get("bpd_delta_vs_ddpm1500") is not None
+        and abs(r["bpd_delta_vs_ddpm1500"]) <= bpd_tol
+    ]
     result = {
         "timesteps": T,
         "scaling": args.scaling,
@@ -574,17 +728,35 @@ def main():
         "k_bins": [float(v) for v in k_bins],
         "pk_ddpm_ref": [float(v) for v in pk_ddpm],
         "pk_data": [float(v) for v in pk_data],
+        # Full statistical battery references + floors (pixel-PDF on the
+        # fixed grid arange(-3, 3, 0.01); ELBO/BPD paper form, fixed rng).
+        "pdf_bin_delta": PDF_DELTA,
+        "pdf_bin_range": [float(PDF_BINS[0]), float(PDF_BINS[-1])],
+        "pdf_ddpm_ref": [float(v) for v in pdf_ddpm],
+        "pdf_data": [float(v) for v in pdf_data],
+        "elbo_ddpm_ref": round(float(elbo_ddpm), 7),
+        "bpd_ddpm_ref": round(float(bpd_ddpm), 10),
+        "bpd_data": round(float(bpd_data), 10),
+        "pdf_floor_tv": pdf_floor_tv,
+        "bpd_floor_abs": round(bpd_floor, 10),
+        "pdf_tolerance_tv": round(pdf_tol, 5) if pdf_tol is not None else None,
+        "bpd_tolerance_abs": round(bpd_tol, 10),
         "rows": rows,
         "certified_configs": [r["config"] for r in certified],
+        "certified_full_battery": [r["config"] for r in certified_full],
     }
     with open(os.path.join(args.outdir, "certification.json"), "w") as f:
         json.dump(result, f, indent=2)
     with open(os.path.join(args.outdir, "certification.md"), "w") as f:
         f.write(table + "\n")
     print(f"\nestimator noise floor (independent DDPM-{T} run): "
-          f"{floor_max:.2f}% max-bin at N={n_eval}")
+          f"{floor_max:.2f}% max-bin at N={n_eval}; pixel-PDF TV floor "
+          f"{pdf_floor_tv}; BPD floor {bpd_floor:.2e}")
     print(f"certified (>=500 maps/min AND max spectral error vs DDPM-{T} "
           f"<= {tol:.2f}%): {result['certified_configs'] or 'NONE'}")
+    print(f"certified FULL battery (+ pixel-PDF TV <= {pdf_tol} AND "
+          f"|BPD delta| <= {bpd_tol:.2e}): "
+          f"{result['certified_full_battery'] or 'NONE'}")
 
 
 if __name__ == "__main__":

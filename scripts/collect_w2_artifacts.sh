@@ -1,13 +1,13 @@
 #!/bin/bash
 # Collect the w=2 certification pipeline's outputs into the committed
-# artifact set (artifacts/certification_r3/) and print the doc-table rows.
+# artifact set (artifacts/certification/) and print the doc-table rows.
 # Run after scripts/run_w2_certification.sh completes.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 SWEEP=${W2_SWEEP:-/tmp/cert_r3_w2}
 VAL=${W2_VAL:-/tmp/cert_r3_w2_val}
 CALIB=${W2_CALIB_DIR:-/tmp}
-DEST=artifacts/certification_r3
+DEST=artifacts/certification
 
 cp -f "$SWEEP/certification.json" "$DEST/sweep_w2_n4096.json"
 cp -f "$SWEEP/certification.md" "$DEST/sweep_w2_n4096.md"
@@ -19,7 +19,7 @@ python - <<'EOF'
 import json
 
 for name in ("sweep_w2_n4096", "validation_w2_calibrated"):
-    d = json.load(open(f"artifacts/certification_r3/{name}.json"))
+    d = json.load(open(f"artifacts/certification/{name}.json"))
     print(f"\n=== {name} (floor {d['noise_floor_max_pct']}% max, "
           f"tolerance {d['certify_tolerance_pct']}%) ===")
     print("| Config | maps/min/chip | max err | mean err |")

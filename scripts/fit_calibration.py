@@ -50,9 +50,30 @@ def main():
     # mode counts of the 64x64 linear binning weight the fit
     _, counts, _, _ = _linear_bin_info((64, 64), 1.0)
 
+    # Stamp provenance at fit time: calibrations are model-specific, so the
+    # sweep MUST carry the checkpoint fingerprint and every consumer verifies
+    # it (certify_fast_sampler --calibrated, bench.py).  Refusing unstamped
+    # sweeps here is what makes a stale-calibration/retrained-model pairing
+    # impossible downstream.
+    ckpt_fp = cert.get("checkpoint_fingerprint")
+    if not ckpt_fp or ckpt_fp == "none":
+        raise SystemExit(
+            f"{args.cert_json} carries no checkpoint_fingerprint — regenerate "
+            "the sweep with the current certify_fast_sampler.py (which stamps "
+            "it) before fitting a calibration"
+        )
+
     calib = fit_spectral_transfer(k, pk_fast, pk_ref, deg=args.deg,
                                   counts=counts)
-    calib.save(args.out)
+    calib.save(args.out, meta={
+        "checkpoint_fingerprint": ckpt_fp,
+        "fit_config": row["config"],
+        "guide_w": cert["guide_w"],
+        "timesteps": cert["timesteps"],
+        "scaling": cert["scaling"],
+        "n_eval_maps": cert["n_eval_maps"],
+        "deg": args.deg,
+    })
 
     good = (k > 0) & np.isfinite(pk_ref) & (pk_ref > 0)
     raw = pk_fast[good] / pk_ref[good] - 1

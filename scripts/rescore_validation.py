@@ -49,13 +49,43 @@ def rescore(sweep: dict, val: dict) -> dict:
     out["independent_reference"] = "sweep noise-floor row (seed B)"
     out["noise_floor_max_pct_indep"] = round(floor_max, 2)
     out["certify_tolerance_pct_indep"] = round(tol, 2)
+
+    # Full statistical battery vs the independent seed-B row (pixel-PDF TV +
+    # BPD delta), when the sweep carries it (certify_fast_sampler round-4
+    # format); tolerances mirror the certifier's: max(floor, 1%).
+    battery = ("pdf" in floor_rows[0] and "bpd" in floor_rows[0]
+               and "pdf_ddpm_ref" in sweep)
+    if battery:
+        delta = sweep["pdf_bin_delta"]
+        pdf_a = np.asarray(sweep["pdf_ddpm_ref"], np.float64)
+        pdf_b = np.asarray(floor_rows[0]["pdf"], np.float64)
+        bpd_b = floor_rows[0]["bpd"]
+
+        def tv(p, q):
+            return float(0.5 * np.abs(np.asarray(p, np.float64) - q).sum()
+                         * delta)
+
+        pdf_floor = tv(pdf_a, pdf_b)
+        bpd_floor = abs(sweep["bpd_ddpm_ref"] - bpd_b)
+        pdf_tol = max(0.01, pdf_floor)
+        bpd_tol = max(0.01 * abs(bpd_b), bpd_floor)
+        out["pdf_floor_tv_indep"] = round(pdf_floor, 5)
+        out["bpd_floor_abs_indep"] = round(bpd_floor, 10)
+        out["pdf_tolerance_tv_indep"] = round(pdf_tol, 5)
+        out["bpd_tolerance_abs_indep"] = round(bpd_tol, 10)
+
     certified = []
+    certified_full = []
     rows = []
     for r in val["rows"]:
         r = dict(r)
         e_max, e_mean = err(r["pk"], pk_b)
         r["max_err_vs_indep_pct"] = round(e_max, 2)
         r["mean_err_vs_indep_pct"] = round(e_mean, 2)
+        row_battery = battery and "pdf" in r and "bpd" in r
+        if row_battery:
+            r["pdf_tv_vs_indep"] = round(tv(r["pdf"], pdf_b), 5)
+            r["bpd_delta_vs_indep"] = round(r["bpd"] - bpd_b, 10)
         rows.append(r)
         is_ref_row = r["steps"] == val["timesteps"]
         # Certification = BOTH clauses of the north star (certify_fast_sampler
@@ -63,10 +93,19 @@ def rescore(sweep: dict, val: dict) -> dict:
         # independent tolerance.  Without the throughput bar a slow row could
         # land in certified_configs_independent and be surfaced by bench.py's
         # certified-serving summary as "the certified serving row".
-        if not is_ref_row and e_max <= tol and r["maps_per_min"] >= 500:
+        # Mirror the certifier's null guard (certify_fast_sampler.py): rows
+        # whose throughput was never measured carry maps_per_min=None and
+        # must be rejected, not crash the rescoring.
+        if (not is_ref_row and e_max <= tol
+                and r["maps_per_min"] is not None and r["maps_per_min"] >= 500):
             certified.append(r["config"])
+            if (row_battery and r["pdf_tv_vs_indep"] <= pdf_tol
+                    and abs(r["bpd_delta_vs_indep"]) <= bpd_tol):
+                certified_full.append(r["config"])
     out["rows"] = rows
     out["certified_configs_independent"] = certified
+    if battery:
+        out["certified_full_battery_independent"] = certified_full
     return out
 
 
@@ -95,6 +134,9 @@ def main():
         )
     print("certified (independent scoring):",
           out["certified_configs_independent"])
+    if "certified_full_battery_independent" in out:
+        print("certified FULL battery (independent scoring):",
+              out["certified_full_battery_independent"])
     out_path = args.out or args.validation.replace(".json", "") + ".indep.json"
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)

@@ -22,10 +22,12 @@ cd "$(dirname "$0")/.."
 # checkpoint means stage A must be re-run to refit the calibration before
 # this confirmation, e.g. via run_w2_certification.sh with W2_SRC pointed
 # here).
-SRC=${N16K_SRC:-artifacts/certification_r3/model}
+SRC=${N16K_SRC:-artifacts/certification/model}
 OUT=${N16K_OUT:-/tmp/cert_r3_w2_n16k}
-STEPS=${N16K_STEPS:-560}
-CALIB=${N16K_CALIB:-/tmp/calib_w2_560.npz}
+# Default row: the stage-B independent-scored winner (SPEEDUP.md w=2 table:
+# strided-500 + calibration, the lowest max-error row clearing 500 maps/min).
+STEPS=${N16K_STEPS:-500}
+CALIB=${N16K_CALIB:-/tmp/calib_w2_500.npz}
 EXTRA=${N16K_EXTRA:---param-sets 1000}
 
 mkdir -p "$OUT"

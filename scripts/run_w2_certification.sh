@@ -9,7 +9,7 @@
 # Fits:    radial spectral-calibration fit per strided row (CPU).
 # Stage B: OUT-OF-SAMPLE validation of the calibrated rows — fresh sampler
 #          seeds, reference spectra reused via --ref-from (same protocol as
-#          the committed w=0 round, artifacts/certification_r3/).
+#          the committed w=0 round, artifacts/certification/).
 #
 # Usage: scripts/run_w2_certification.sh   (~2.5 h on one v5e chip)
 # Env overrides (CPU smoke: W2_SWEEP=/tmp/w2smoke W2_VAL=/tmp/w2smoke_val
@@ -22,8 +22,11 @@ VAL=${W2_VAL:-/tmp/cert_r3_w2_val}
 EVAL_MAPS=${W2_EVAL_MAPS:-4096}
 T=${W2_TIMESTEPS:-1500}
 EPOCHS=${W2_EPOCHS:-300}
+# Guidance strength (W2_GUIDE=0 reuses this pipeline for the w=0 chain; the
+# calib sidecars are named calib_w$GUIDE_$steps.npz either way).
+GUIDE=${W2_GUIDE:-2}
 # Reference scale by default (13,500 train / 1,500 test — the committed
-# w=0 round's protocol, artifacts/certification_r3/train_300epoch.log).
+# w=0 round's protocol, artifacts/certification/train_300epoch.log).
 EXTRA=${W2_EXTRA:---param-sets 1000}
 CALIB=${W2_CALIB_DIR:-/tmp}
 STEPS=${W2_STEPS:-"440 500 560 620 680 750 900"}  # 750/900 map the valley
@@ -37,7 +40,8 @@ STAMP=$(mktemp /tmp/w2cert_stamp.XXXXXX)
 # Stage A trains the reference-scale checkpoint if $SWEEP doesn't already
 # hold one (resumable: checkpoints every 10 epochs), then sweeps.
 python scripts/certify_fast_sampler.py "$SWEEP" "$EPOCHS" \
-  --guide-w 2 --eval-maps "$EVAL_MAPS" --timesteps "$T" --families strided \
+  --guide-w "$GUIDE" --eval-maps "$EVAL_MAPS" --timesteps "$T" \
+  --families strided \
   --ddim-steps $STEPS --hybrid --dpm-steps $EXTRA \
   2>&1 | tee /tmp/cert_w2_stageA.log
 rc=$?
@@ -48,11 +52,11 @@ rc=$?
 SPECS=""
 for s in $STEPS; do
   python scripts/fit_calibration.py "$SWEEP/certification.json" \
-    "strided DDPM $s" -o "$CALIB/calib_w2_$s.npz" \
+    "strided DDPM $s" -o "$CALIB/calib_w${GUIDE}_$s.npz" \
     2>&1 | tee -a /tmp/cert_w2_fits.log
   rc=$?
   [ "$rc" -eq 0 ] || { echo "calibration fit for $s failed (rc=$rc)"; exit 1; }
-  SPECS="$SPECS $s:$CALIB/calib_w2_$s.npz"
+  SPECS="$SPECS $s:$CALIB/calib_w${GUIDE}_$s.npz"
 done
 
 # Stage B shares stage A's checkpoint (certify looks it up in its outdir;
@@ -61,7 +65,8 @@ done
 mkdir -p "$VAL"
 cp -f "$SWEEP/train_state.msgpack" "$VAL/train_state.msgpack"
 python scripts/certify_fast_sampler.py "$VAL" "$EPOCHS" --skip-train \
-  --guide-w 2 --eval-maps "$EVAL_MAPS" --timesteps "$T" --families strided \
+  --guide-w "$GUIDE" --eval-maps "$EVAL_MAPS" --timesteps "$T" \
+  --families strided \
   --ddim-steps --hybrid --dpm-steps $EXTRA \
   --ref-from "$SWEEP/certification.json" --calibrated $SPECS \
   2>&1 | tee /tmp/cert_w2_stageB.log

@@ -184,7 +184,7 @@ def test_binwise_recalibration_reproduces_committed_verdict(tmp_path):
     import sys
 
     repo = pathlib.Path(__file__).parent.parent
-    art = repo / "artifacts" / "certification_r3"
+    art = repo / "artifacts" / "certification"
     if not (art / "sweep_w2_n4096.json").exists():
         pytest.skip("certification artifacts not present")
     out = tmp_path / "binwise_w2.json"
