@@ -174,14 +174,26 @@ def bench_train():
     key, k = jax.random.split(key)
     state, m = step(state, *batches[0], k)
     _ = float(m["loss"])
-    t0 = _time.time()
-    it = device_prefetch(batches[1:]) if use_prefetch else iter(batches[1:])
-    for bx, bc in it:
-        key, k = jax.random.split(key)
-        state, m = step(state, bx, bc, k)
-    _ = float(m["loss"])
-    dt = _time.time() - t0
-    imgs_per_sec = n_iter * batch / dt
+
+    # Repeat/min protocol (same as the sampling bench): the tunneled-TPU
+    # run-to-run variance is large (two same-flag runs measured 1501 and
+    # 1954 imgs/s hours apart — round-3 verdict), so a single pass cannot be
+    # a headline.  Run the epoch-like loop BENCH_REPEATS times and report
+    # the min-time (max throughput) plus the spread, so a reader can see the
+    # measurement noise instead of absorbing it.
+    n_repeats = int(os.environ.get("BENCH_REPEATS", 3 if on_accel else 1))
+    repeat_tp = []
+    for _rep in range(n_repeats):
+        t0 = _time.time()
+        it = (device_prefetch(batches[1:]) if use_prefetch
+              else iter(batches[1:]))
+        for bx, bc in it:
+            key, k = jax.random.split(key)
+            state, m = step(state, bx, bc, k)
+        _ = float(m["loss"])
+        dt = _time.time() - t0
+        repeat_tp.append(n_iter * batch / dt)
+    imgs_per_sec = max(repeat_tp)
     print(
         json.dumps(
             {
@@ -193,6 +205,11 @@ def bench_train():
                 "platform": platform,
                 "prefetch": use_prefetch,
                 "remat": remat,
+                "repeats": [round(v, 1) for v in repeat_tp],
+                "spread_pct": round(
+                    100 * (max(repeat_tp) - min(repeat_tp)) / max(repeat_tp),
+                    1,
+                ),
             }
         )
     )

@@ -26,6 +26,28 @@ EXTRA=${R4_EXTRA:---param-sets 1000}
 W2_STEPS_LIST=${R4_W2_STEPS:-"440 500 560 620 680 750 900"}
 W0_STEPS_LIST=${R4_W0_STEPS:-"430 440 460"}
 mkdir -p "$CAL"
+
+# The source checkpoint must be COMPLETE (epoch == EPOCHS): a partial
+# checkpoint would silently resume training inside stage A, changing the
+# weights so the other outdirs' copies (and later the committed model) no
+# longer match — the stamp guards would then hard-fail stage B an hour in.
+# (Round-4 incident: the round-3 committed "300-epoch" model was an
+# epoch-140 autosave.)
+python - "$SRC" "$EPOCHS" <<'EOF'
+import sys
+from flax import serialization
+with open(sys.argv[1], "rb") as f:
+    d = serialization.msgpack_restore(f.read())
+ep, want = int(d["epoch"]), int(sys.argv[2])
+if ep != want:
+    raise SystemExit(
+        f"{sys.argv[1]} is an epoch-{ep} checkpoint, not {want} — finish "
+        f"training first: python scripts/certify_fast_sampler.py <outdir> "
+        f"{want} --train-only --param-sets 1000 --timesteps 1500"
+    )
+print(f"checkpoint complete: epoch {ep}")
+EOF
+
 for d in /tmp/cert_r4_w2 /tmp/cert_r4_w2_val /tmp/cert_r4_w0 /tmp/cert_r4_w0_val; do
   mkdir -p "$d"
   cp -f "$SRC" "$d/train_state.msgpack"

@@ -106,3 +106,20 @@ def test_default_calibration_path_rejects_fractional_guidance():
     assert default_calibration_path(2.9, 500) is None
     # Integral floats still resolve.
     assert default_calibration_path(0.0, 430) is not None
+
+
+@pytest.mark.slow
+def test_bench_sharded_sample_contract():
+    # Mesh-sharded sampling over an 8-device virtual CPU mesh: the JSON must
+    # report per-device batch math and a scaling efficiency.
+    res = _run_bench({
+        "BENCH_MODE": "sharded_sample",
+        "CAMELS_FORCE_CPU": "1",
+        "CAMELS_CPU_DEVICES": "8",
+    })
+    assert res["unit"] == "maps/min/chip"
+    assert res["n_devices"] == 8
+    assert res["batch_per_chip"] == 2
+    assert res["total_batch"] == 16
+    assert res["value"] > 0
+    assert 0 < res["scaling_efficiency"]
