@@ -21,6 +21,7 @@ import argparse
 import os
 import re
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -37,6 +38,8 @@ def main():
                     help="run on the default backend (TPU) instead of CPU")
     ap.add_argument("--dump-hlo", default=None,
                     help="directory to write per-mode optimized HLO text")
+    ap.add_argument("--measure", action="store_true",
+                    help="also time the step (min of 3x10 iterations)")
     args = ap.parse_args()
 
     import jax
@@ -74,7 +77,8 @@ def main():
     print(f"backend: {jax.devices()[0].platform}, batch {args.batch}, "
           f"n_feat {args.nfeat}, dtype {dtype.__name__}")
     header = (f"{'mode':>6} | {'GFLOPs':>9} | {'GB moved':>9} | "
-              f"{'conv ops':>8} | {'dot ops':>7} | {'fusions':>7}")
+              f"{'conv ops':>8} | {'dot ops':>7} | {'fusions':>7} | "
+              f"{'barriers':>8} | {'imgs/s':>8}")
     print(header)
     print("-" * len(header))
     results = {}
@@ -92,10 +96,28 @@ def main():
         n_conv = len(re.findall(r" = \S+ convolution\(", hlo))
         n_dot = len(re.findall(r" = \S+ dot\(", hlo))
         n_fus = len(re.findall(r" = \S+ fusion\(", hlo))
+        n_bar = len(re.findall(r"opt-barrier|optimization-barrier", hlo))
+        imgs_s = float("nan")
+        if args.measure:
+            import jax.numpy as jnp2
+
+            st = state
+            st, m = step(st, x, c, rng)  # warm (already compiled)
+            _ = float(m["loss"])
+            best = float("inf")
+            for _rep in range(3):
+                t0 = time.time()
+                for i in range(10):
+                    st, m = step(st, x, c, jax.random.fold_in(rng, i))
+                _ = float(m["loss"])
+                best = min(best, (time.time() - t0) / 10)
+            imgs_s = args.batch / best
         name = {False: "off", "convs": "convs", True: "full"}[mode]
-        results[name] = dict(flops=flops, bytes=byt, conv=n_conv, dot=n_dot)
+        results[name] = dict(flops=flops, bytes=byt, conv=n_conv, dot=n_dot,
+                             barriers=n_bar, imgs_s=imgs_s)
         print(f"{name:>6} | {flops/1e9:9.2f} | {byt/1e9:9.2f} | "
-              f"{n_conv:8d} | {n_dot:7d} | {n_fus:7d}")
+              f"{n_conv:8d} | {n_dot:7d} | {n_fus:7d} | {n_bar:8d} | "
+              f"{imgs_s:8.1f}")
         if args.dump_hlo:
             os.makedirs(args.dump_hlo, exist_ok=True)
             with open(os.path.join(args.dump_hlo, f"train_{name}.hlo"),
