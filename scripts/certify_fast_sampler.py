@@ -598,10 +598,14 @@ def main():
                 bpd=st.bpd, note=f"eta=1, {spec}")
         print(f"  {tp:.1f} maps/min", flush=True)
 
-    # Calibrated rows: strided DDPM + the fixed radial spectral-calibration
+    # Calibrated rows: a fast sampler + the fixed radial spectral-calibration
     # filter (diffusion/calibration.py), validated OUT-OF-SAMPLE — fresh
     # sampler noise seeds (5000+...), not the seeds the calibration was
-    # fitted from — against the same reference protocol.  Spec: "steps:npz".
+    # fitted from — against the same reference protocol.
+    # Spec: "steps:npz" (strided DDPM, the default family) or
+    # "dpm:steps:npz" (DPM-Solver++(2M) — the 2nd-order ODE sampler's smooth
+    # spectral offset is exactly what a radial calibration can remove, at
+    # ~5x fewer model evals than the strided valley).
     if args.calibrated:
         import types
 
@@ -610,9 +614,18 @@ def main():
             apply_spectral_calibration,
             load_calibration_meta,
         )
+        from camels_diffusion_model_tpu.diffusion.dpm_solver import (
+            sample_dpm2m as _dpm2m,
+        )
 
         for spec in args.calibrated:
-            steps_s, _, calib_path = spec.partition(":")
+            parts = spec.split(":")
+            if parts[0] == "dpm":
+                c_family, steps_s = "dpm", parts[1]
+                calib_path = ":".join(parts[2:])
+            else:
+                c_family, steps_s = "strided", parts[0]
+                calib_path = ":".join(parts[1:])
             c_steps = int(steps_s)
             # Calibrations are model-specific: refuse any npz whose fit-time
             # checkpoint stamp is absent or does not match the checkpoint in
@@ -633,32 +646,43 @@ def main():
                     "stage A on this checkpoint and refit"
                 )
             calib = SpectralCalibration.load(calib_path)
-            label = f"strided DDPM {c_steps} + spectral calibration"
+            fam_name = ("DPM-Solver++(2M)" if c_family == "dpm"
+                        else "strided DDPM")
+            label = f"{fam_name} {c_steps} + spectral calibration"
             print(f"{label}...", flush=True)
 
-            def calib_slice(x0, pp, si, c_steps=c_steps, calib=calib):
-                maps = sample_ddim(
-                    inf_model, inf_vars, schedule,
-                    jax.random.PRNGKey(5000 + c_steps + si),
-                    n_sample=x0.shape[0], size=64, params=pp,
-                    guide_w=args.guide_w, n_steps=c_steps, eta=1.0,
-                    x_init=x0, sigma_mode="beta",
+            def raw_sample(key, n, pp, x0=None,
+                           c_family=c_family, c_steps=c_steps):
+                if c_family == "dpm":
+                    return _dpm2m(
+                        inf_model, inf_vars, schedule, key, n_sample=n,
+                        size=64, params=pp, guide_w=args.guide_w,
+                        n_steps=c_steps, x_init=x0,
+                    ).x
+                return sample_ddim(
+                    inf_model, inf_vars, schedule, key, n_sample=n, size=64,
+                    params=pp, guide_w=args.guide_w, n_steps=c_steps,
+                    eta=1.0, x_init=x0, sigma_mode="beta",
                 ).x
+
+            def calib_slice(x0, pp, si, c_steps=c_steps, calib=calib,
+                            raw_sample=raw_sample):
+                maps = raw_sample(
+                    jax.random.PRNGKey(5000 + c_steps + si), x0.shape[0],
+                    pp, x0,
+                )
                 return apply_spectral_calibration(maps, calib)
 
             st = gen_mean_pk(
                 calib_slice, label, extra_key=_file_md5(calib_path)
             )
 
-            def calib_bench(s, c_steps=c_steps, calib=calib):
-                out = sample_ddim(
-                    inf_model, inf_vars, schedule, jax.random.PRNGKey(s),
-                    n_sample=args.bench_batch, size=64, params=bench_params,
-                    guide_w=args.guide_w, n_steps=c_steps, eta=1.0,
-                    sigma_mode="beta",
+            def calib_bench(s, calib=calib, raw_sample=raw_sample):
+                out = raw_sample(
+                    jax.random.PRNGKey(s), args.bench_batch, bench_params
                 )
                 return types.SimpleNamespace(
-                    x=apply_spectral_calibration(out.x, calib)
+                    x=apply_spectral_calibration(out, calib)
                 )
 
             tp = throughput(calib_bench)

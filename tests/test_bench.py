@@ -66,17 +66,34 @@ def test_bench_serving_contract():
 def test_certified_serving_summary():
     sys.path.insert(0, REPO)
     try:
-        from bench import certified_serving_summary
+        from bench import _committed_checkpoint_md5, certified_serving_summary
     finally:
         sys.path.remove(REPO)
+    import glob as _glob
+
+    art = os.path.join(REPO, "artifacts", "certification")
+    ckpt_md5 = _committed_checkpoint_md5(art)
+    stamped = []
+    for p in _glob.glob(os.path.join(art,
+                                     "validation_w*_calibrated.indep.json")):
+        with open(p) as f:
+            if json.load(f).get("checkpoint_fingerprint") == ckpt_md5:
+                stamped.append(p)
     rows = certified_serving_summary()
+    if not stamped:
+        # Between a checkpoint refresh and the certification re-run, every
+        # committed artifact is (correctly) dropped by the stamp guard.
+        assert rows == []
+        pytest.skip("no committed validation artifact matches the committed "
+                    "checkpoint — certification refresh pending")
     # The committed w=0 certification must surface; each entry carries the
     # fields the round artifact needs, and the certified row beats the bar.
     assert any(r["guide_w"] == 0.0 for r in rows)
     for r in rows:
         for key in ("config", "maps_per_min", "max_err_vs_indep_pct",
-                    "noise_floor_max_pct"):
+                    "noise_floor_max_pct", "checkpoint_fingerprint"):
             assert key in r
+        assert r["checkpoint_fingerprint"] == ckpt_md5
         assert r["maps_per_min"] >= 500
         assert r["max_err_vs_indep_pct"] <= r["noise_floor_max_pct"]
 
