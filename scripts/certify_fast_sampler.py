@@ -447,12 +447,12 @@ def main():
         }
         if pdf is not None:
             row["pdf"] = [float(v) for v in pdf]
-            row["pdf_tv_vs_ddpm1500"] = round(pdf_tv(pdf, pdf_ddpm), 5)
-            row["pdf_tv_vs_data"] = round(pdf_tv(pdf, pdf_data), 5)
+            row["pdf_tv_vs_ddpm1500"] = round(pdf_tv(pdf, pdf_ddpm), 7)
+            row["pdf_tv_vs_data"] = round(pdf_tv(pdf, pdf_data), 7)
         if bpd is not None:
-            row["elbo"] = round(float(elbo), 7)
-            row["bpd"] = round(float(bpd), 10)
-            row["bpd_delta_vs_ddpm1500"] = round(float(bpd) - bpd_ddpm, 10)
+            row["elbo"] = float(elbo)
+            row["bpd"] = float(bpd)
+            row["bpd_delta_vs_ddpm1500"] = float(bpd) - bpd_ddpm
         rows.append(row)
         battery = ""
         if pdf is not None and bpd is not None:
@@ -758,13 +758,13 @@ def main():
         "pdf_bin_range": [float(PDF_BINS[0]), float(PDF_BINS[-1])],
         "pdf_ddpm_ref": [float(v) for v in pdf_ddpm],
         "pdf_data": [float(v) for v in pdf_data],
-        "elbo_ddpm_ref": round(float(elbo_ddpm), 7),
-        "bpd_ddpm_ref": round(float(bpd_ddpm), 10),
-        "bpd_data": round(float(bpd_data), 10),
+        "elbo_ddpm_ref": float(elbo_ddpm),
+        "bpd_ddpm_ref": float(bpd_ddpm),
+        "bpd_data": float(bpd_data),
         "pdf_floor_tv": pdf_floor_tv,
-        "bpd_floor_abs": round(bpd_floor, 10),
-        "pdf_tolerance_tv": round(pdf_tol, 5) if pdf_tol is not None else None,
-        "bpd_tolerance_abs": round(bpd_tol, 10),
+        "bpd_floor_abs": float(bpd_floor),
+        "pdf_tolerance_tv": round(pdf_tol, 7) if pdf_tol is not None else None,
+        "bpd_tolerance_abs": float(bpd_tol),
         "rows": rows,
         "certified_configs": [r["config"] for r in certified],
         "certified_full_battery": [r["config"] for r in certified_full],

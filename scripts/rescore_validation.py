@@ -69,10 +69,10 @@ def rescore(sweep: dict, val: dict) -> dict:
         bpd_floor = abs(sweep["bpd_ddpm_ref"] - bpd_b)
         pdf_tol = max(0.01, pdf_floor)
         bpd_tol = max(0.01 * abs(bpd_b), bpd_floor)
-        out["pdf_floor_tv_indep"] = round(pdf_floor, 5)
-        out["bpd_floor_abs_indep"] = round(bpd_floor, 10)
-        out["pdf_tolerance_tv_indep"] = round(pdf_tol, 5)
-        out["bpd_tolerance_abs_indep"] = round(bpd_tol, 10)
+        out["pdf_floor_tv_indep"] = round(pdf_floor, 7)
+        out["bpd_floor_abs_indep"] = float(bpd_floor)
+        out["pdf_tolerance_tv_indep"] = round(pdf_tol, 7)
+        out["bpd_tolerance_abs_indep"] = float(bpd_tol)
 
     certified = []
     certified_full = []
@@ -84,8 +84,8 @@ def rescore(sweep: dict, val: dict) -> dict:
         r["mean_err_vs_indep_pct"] = round(e_mean, 2)
         row_battery = battery and "pdf" in r and "bpd" in r
         if row_battery:
-            r["pdf_tv_vs_indep"] = round(tv(r["pdf"], pdf_b), 5)
-            r["bpd_delta_vs_indep"] = round(r["bpd"] - bpd_b, 10)
+            r["pdf_tv_vs_indep"] = round(tv(r["pdf"], pdf_b), 7)
+            r["bpd_delta_vs_indep"] = float(r["bpd"] - bpd_b)
         rows.append(r)
         is_ref_row = r["steps"] == val["timesteps"]
         # Certification = BOTH clauses of the north star (certify_fast_sampler
