@@ -16,18 +16,16 @@
 #      stage-B winner), N16K_SRC the stage-A outdir with the checkpoint.
 set -uo pipefail
 cd "$(dirname "$0")/.."
-# Default checkpoint: the committed reference-scale model under artifacts/
-# (a FRESH 300-epoch retrain — /tmp is wiped between rounds, so the original
-# d9dec39f... checkpoint behind the committed stage-A/B jsons is gone; a new
-# checkpoint means stage A must be re-run to refit the calibration before
-# this confirmation, e.g. via run_w2_certification.sh with W2_SRC pointed
-# here).
+# Default checkpoint: the committed reference-scale model under artifacts/.
+# The calibration npz must be stamped with THIS checkpoint's md5 (round-4
+# stamping) — certify_fast_sampler hard-fails otherwise, so a stale fit can
+# never reach the confirmation.  Re-fit via scripts/run_r4_certification.sh.
 SRC=${N16K_SRC:-artifacts/certification/model}
-OUT=${N16K_OUT:-/tmp/cert_r3_w2_n16k}
+OUT=${N16K_OUT:-/tmp/cert_r4_w2_n16k}
 # Default row: the stage-B independent-scored winner (SPEEDUP.md w=2 table:
 # strided-500 + calibration, the lowest max-error row clearing 500 maps/min).
 STEPS=${N16K_STEPS:-500}
-CALIB=${N16K_CALIB:-/tmp/calib_w2_500.npz}
+CALIB=${N16K_CALIB:-/tmp/cert_r4_calib/calib_w2_500.npz}
 EXTRA=${N16K_EXTRA:---param-sets 1000}
 
 mkdir -p "$OUT"
