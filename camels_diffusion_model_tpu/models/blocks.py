@@ -19,13 +19,41 @@ Capability parity with the reference's building blocks
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax import lax
 
 Dtype = Any
+
+
+def _conv3x3_impl(batch: int, h: int, w: int) -> str:
+    """Resolve the 3x3-conv implementation for a given activation shape.
+
+    ``CAMELS_CONV_IMPL`` selects the formulation (read at trace time — set it
+    before the first jit of a given shape):
+
+    * ``direct`` (default): ``lax.conv_general_dilated`` via ``nn.Conv`` —
+      XLA's native conv path, fastest at the reference batch sizes.
+    * ``im2col``: explicit patches + ``dot_general`` — an MXU-shaped matmul
+      that bypasses XLA's conv tiler entirely.  Remedy candidate for the
+      measured large-batch tiling regression (ARCHITECTURE.md: ~46% of
+      roofline at batch >= 256; scripts/conv_tiling_probe.py isolates it
+      per shape).
+    * ``auto``: im2col only when ``batch*h*w >= CAMELS_IM2COL_MIN_BHW``
+      (default 2**31, i.e. off until the TPU probe pins the crossover).
+
+    Both paths share one parameter tree (kernel (3,3,Cin,Cout) + bias under
+    the ``conv`` scope), so checkpoints are interchangeable.
+    """
+    mode = os.environ.get("CAMELS_CONV_IMPL", "direct")
+    if mode == "auto":
+        min_bhw = int(os.environ.get("CAMELS_IM2COL_MIN_BHW", str(2**31)))
+        return "im2col" if batch * h * w >= min_bhw else "direct"
+    return mode
 
 
 def saveable(x: jax.Array) -> jax.Array:
@@ -59,8 +87,55 @@ def torch_conv_init(fan_in: int):
     return init
 
 
+class _Im2ColConv3x3(nn.Module):
+    """3x3 same-padding conv as explicit patches + one MXU matmul.
+
+    Mathematically identical to ``nn.Conv(features, (3, 3), padding="SAME")``
+    and shares its exact parameter tree (``kernel`` (3, 3, Cin, Cout) +
+    ``bias``), so checkpoints and torch_interop mappings are unchanged.
+    Exists as the ``CAMELS_CONV_IMPL=im2col`` remedy for the large-batch
+    conv-tiling regression — see :func:`_conv3x3_impl`.
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, cin = x.shape
+        fan_in = cin * 9
+        kernel = self.param(
+            "kernel", torch_conv_init(fan_in), (3, 3, cin, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", torch_conv_init(fan_in), (self.features,), jnp.float32
+        )
+        xd = x.astype(self.dtype)
+        # (B, H, W, Cin*9); feature order is (Cin, kh, kw) blocks — reorder
+        # the HWIO kernel to match (verified by test_conv_impl equality).
+        patches = lax.conv_general_dilated_patches(
+            xd, (3, 3), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        m = patches.reshape(b * h * w, cin * 9)
+        k = jnp.transpose(kernel.astype(self.dtype), (2, 0, 1, 3)).reshape(
+            cin * 9, self.features
+        )
+        y = lax.dot_general(
+            m, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=self.dtype,
+        )
+        y = y.reshape(b, h, w, self.features) + bias.astype(self.dtype)
+        return y
+
+
 class Conv3x3(nn.Module):
-    """3x3 same-padding conv with torch-default initialization."""
+    """3x3 same-padding conv with torch-default initialization.
+
+    The implementation (XLA direct conv vs im2col matmul) is selected per
+    activation shape by :func:`_conv3x3_impl`; both share one parameter tree.
+    """
 
     features: int
     dtype: Dtype = jnp.float32
@@ -68,6 +143,10 @@ class Conv3x3(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         fan_in = x.shape[-1] * 9
+        if _conv3x3_impl(x.shape[0], x.shape[1], x.shape[2]) == "im2col":
+            return saveable(
+                _Im2ColConv3x3(self.features, dtype=self.dtype, name="conv")(x)
+            )
         return saveable(
             nn.Conv(
                 self.features,
