@@ -21,14 +21,18 @@ committed certification artifacts alone, with full out-of-sample honesty:
     authoritative protocol as scripts/rescore_validation.py.  Stage B's
     seeds were never seen by the fit, so the scoring cannot be gamed.
 
-Measured verdict (artifacts/certification/binwise_w2.json): the binwise
-correction does NOT validate — at 500 steps max error moves 1.73% -> 1.81%
-and the A->B residual correlation is only ~0.5, i.e. about half the stage-A
-residual is estimator noise, which the binwise division injects into stage B.
-This is the evidence behind SPEEDUP.md's claim that the remaining 0.05 pp at
-w=2 is the comparison's own Monte-Carlo noise (concentrated in the 5-16-mode
-Nyquist-corner bins), not a removable bias: even the most expressive radial
-correction, fitted at N=4096, makes things worse out-of-sample.
+Measured verdict (artifacts/certification/binwise_w2.json, round-4
+artifacts): binwise does not beat the best smooth-radial row — it makes the
+certified 500-step row WORSE (1.61% -> 1.95%) and its one improvement (560
+steps, 1.89% -> 1.66% at the 16-mode gate) stays above the plain 500-step
+row on both error and throughput.  The A->B residual correlations are only
+0.14-0.45, i.e. half or more of the stage-A residual is estimator noise,
+which the binwise division injects into stage B.  (Round 3's artifacts, now
+in git history, gave the strictly-negative form of the same verdict:
+1.73% -> 1.81% at 500 steps with nothing improved.)  This is the evidence
+behind SPEEDUP.md's claim that the residual over the floor is the
+comparison's own Monte-Carlo noise (concentrated in the 5-16-mode
+Nyquist-corner bins), not a removable bias.
 
 Usage: python scripts/binwise_recalibration.py [artifacts_dir] [out.json]
 Pure numpy / committed-artifact analysis — no TPU, no model checkpoint.
@@ -136,13 +140,35 @@ def main():
         gate["max_err_indep_pct"] >= row["baseline_max_err_indep_pct"]
         for row in results["rows"] for gate in row["gates"]
     )
-    results["verdict"] = (
-        "binwise radial calibration does NOT validate out-of-sample: the "
-        "stage-A residual is ~half estimator noise (corr ~0.5) and dividing "
-        "by it raises the independent-reference error — the remaining w=2 "
-        "excess over the floor is Monte-Carlo noise, not removable bias"
-        if worse else "binwise improved at least one configuration — re-check docs"
+    # The decision-relevant bar: does ANY binwise gate beat the best
+    # smooth-radial row (the production pick)?  Per-row improvements that
+    # stay above that bar are estimator noise shuffling between bins, not
+    # a better serving configuration.
+    best_baseline = min(
+        row["baseline_max_err_indep_pct"] for row in results["rows"]
     )
+    best_binwise = min(
+        gate["max_err_indep_pct"]
+        for row in results["rows"] for gate in row["gates"]
+    )
+    if worse:
+        results["verdict"] = (
+            "binwise radial calibration does NOT validate out-of-sample: the "
+            "stage-A residual is ~half estimator noise (corr ~0.5) and dividing "
+            "by it raises the independent-reference error — the remaining w=2 "
+            "excess over the floor is Monte-Carlo noise, not removable bias"
+        )
+    elif best_binwise >= best_baseline:
+        results["verdict"] = (
+            "binwise radial calibration does not beat the best smooth-radial "
+            f"row ({best_binwise}% vs {best_baseline}% max-bin independent): "
+            "isolated per-row gains are within the estimator noise the low "
+            "stage-A->stage-B correlation predicts — production pick unchanged"
+        )
+    else:
+        results["verdict"] = (
+            "binwise beats the best smooth-radial row — re-check docs"
+        )
     print("verdict:", results["verdict"])
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)

@@ -176,8 +176,10 @@ def test_binwise_factor_scales_measured_bins_exactly():
 
 
 def test_binwise_recalibration_reproduces_committed_verdict(tmp_path):
-    # The committed negative result (SPEEDUP.md w=2 section) must be
-    # reproducible from the committed artifacts.
+    # The committed result (SPEEDUP.md w=2 binwise-falsification section)
+    # must be reproducible from the committed artifacts, and must keep the
+    # decision-relevant property: binwise never beats the best
+    # smooth-radial row, so the production pick is unchanged.
     import json
     import pathlib
     import subprocess
@@ -196,5 +198,12 @@ def test_binwise_recalibration_reproduces_committed_verdict(tmp_path):
     got = json.loads(out.read_text())
     committed = json.loads((art / "binwise_w2.json").read_text())
     assert got["verdict"] == committed["verdict"]
-    assert "does NOT validate" in got["verdict"]
+    assert "re-check docs" not in got["verdict"]
     assert got["rows"] == committed["rows"]
+    # Production-pick invariant, from the numbers themselves: no binwise
+    # gate beats the best plain calibrated row.
+    best_baseline = min(r["baseline_max_err_indep_pct"] for r in got["rows"])
+    best_binwise = min(
+        g["max_err_indep_pct"] for r in got["rows"] for g in r["gates"]
+    )
+    assert best_binwise >= best_baseline
