@@ -13,7 +13,9 @@
 #
 # Usage: scripts/run_n16k_confirmation.sh   (after run_w2_certification.sh)
 # Env: N16K_STEPS / N16K_CALIB select the row to confirm (default: the
-#      stage-B winner), N16K_SRC the stage-A outdir with the checkpoint.
+#      stage-B winner), N16K_SRC the stage-A outdir with the checkpoint,
+#      N16K_GUIDE_W the guidance setting (default 2 — the north star's;
+#      set 0 + the w=0 calib to confirm the unguided serving row).
 set -uo pipefail
 cd "$(dirname "$0")/.."
 # Default checkpoint: the committed reference-scale model under artifacts/.
@@ -26,12 +28,13 @@ OUT=${N16K_OUT:-/tmp/cert_r4_w2_n16k}
 # strided-500 + calibration, the lowest max-error row clearing 500 maps/min).
 STEPS=${N16K_STEPS:-500}
 CALIB=${N16K_CALIB:-/tmp/cert_r4_calib/calib_w2_500.npz}
+GUIDE_W=${N16K_GUIDE_W:-2}
 EXTRA=${N16K_EXTRA:---param-sets 1000}
 
 mkdir -p "$OUT"
 cp -f "$SRC/train_state.msgpack" "$OUT/train_state.msgpack"
 python scripts/certify_fast_sampler.py "$OUT" 300 --skip-train \
-  --guide-w 2 --eval-maps 16384 --timesteps 1500 --families strided \
+  --guide-w "$GUIDE_W" --eval-maps 16384 --timesteps 1500 --families strided \
   --ddim-steps --hybrid --dpm-steps $EXTRA \
   --calibrated "$STEPS:$CALIB" \
   2>&1 | tee /tmp/cert_w2_n16k.log
