@@ -182,6 +182,63 @@ def test_bench_summary_verifies_checkpoint_stamp(tmp_path, capsys):
     assert bench.certified_serving_summary(art_dir=art) == []
 
 
+def _mk_confirmation_json(art, fp, max_err=0.93):
+    d = {
+        "guide_w": 2.0,
+        "checkpoint_fingerprint": fp,
+        "timesteps": 100,
+        "n_eval_maps": 16384,
+        "noise_floor_max_pct_indep": 0.85,
+        "rows": [
+            {"config": "DDPM 100 (reference math)", "steps": 100,
+             "maps_per_min": 200.0, "max_err_vs_indep_pct": 0.0,
+             "mean_err_vs_indep_pct": 0.0},
+            {"config": "strided DDPM 10 + spectral calibration", "steps": 10,
+             "maps_per_min": 900.0, "max_err_vs_indep_pct": max_err,
+             "mean_err_vs_indep_pct": 0.3},
+        ],
+    }
+    with open(os.path.join(art, "confirmation_w2_n16384.indep.json"),
+              "w") as f:
+        json.dump(d, f)
+
+
+def test_bench_summary_quotes_n16k_confirmation(tmp_path, capsys):
+    bench = _load_bench()
+    art = str(tmp_path)
+    os.makedirs(os.path.join(art, "model"))
+    with open(os.path.join(art, "model", "train_state.msgpack"), "wb") as f:
+        f.write(b"fake checkpoint bytes")
+    good_fp = hashlib.md5(b"fake checkpoint bytes").hexdigest()
+    _mk_validation_json(art, good_fp)
+
+    # no confirmation artifact -> summary has no n16384 block
+    out = bench.certified_serving_summary(art_dir=art)
+    assert "n16384_confirmation" not in out[0]
+
+    # matching-stamp confirmation -> quoted, literal clause resolved
+    _mk_confirmation_json(art, good_fp, max_err=0.93)
+    out = bench.certified_serving_summary(art_dir=art)
+    conf = out[0]["n16384_confirmation"]
+    assert conf["eval_maps"] == 16384
+    assert conf["maps_per_min"] == 900.0
+    assert conf["within_1pct_literal"] is True
+    assert conf["config"] == "strided DDPM 10 + spectral calibration"
+
+    # a miss is reported honestly, not dropped
+    _mk_confirmation_json(art, good_fp, max_err=1.23)
+    out = bench.certified_serving_summary(art_dir=art)
+    assert out[0]["n16384_confirmation"]["within_1pct_literal"] is False
+
+    # mismatched stamp -> the confirmation block is dropped with a warning,
+    # the validation row itself survives
+    _mk_confirmation_json(art, "0123456789abcdef0123456789abcdef")
+    out = bench.certified_serving_summary(art_dir=art)
+    assert len(out) == 1
+    assert "n16384_confirmation" not in out[0]
+    assert "n16k" in capsys.readouterr().err
+
+
 def test_rescore_battery_fields_and_full_battery_gate():
     rescore = _load_script("rescore_validation").rescore
     k = [0.0, 1.0, 2.0, 3.0]
