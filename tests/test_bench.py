@@ -14,7 +14,12 @@ def _run_bench(extra_env):
     env = dict(os.environ)
     env.update(
         {
+            # JAX_PLATFORMS alone is NOT enough: the axon TPU plugin ignores
+            # the env var (CLAUDE.md), so without CAMELS_FORCE_CPU these
+            # subprocesses would silently grab the real chip — and fail
+            # whenever another process (a certification run) holds it.
             "JAX_PLATFORMS": "cpu",
+            "CAMELS_FORCE_CPU": "1",
             "BENCH_BATCH": "2",
             "BENCH_TIMESTEPS": "4",
             "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_test_cache",
