@@ -56,12 +56,41 @@ class SpectralCalibration:
     k_max: float
     dl: float = 1.0
     clip: Tuple[float, float] = (0.7, 1.4)
+    # Optional mode-gated binwise component composed ON TOP of the smooth
+    # polynomial: ``bin_ratios[i]`` is an extra power ratio for the linear
+    # P(k) bin ``i = rint(|k| / dk)`` (ops/spectrum.py binning, dk =
+    # 2*pi/(n*dl)); 1.0 (or an index past the table) leaves the bin
+    # untouched.  Fitted by scripts/fit_binwise_residual.py from a
+    # high-statistics validation run: the smooth fit cannot follow bin-local
+    # structure (the Nyquist-corner sign flip), and at N=16384 fit
+    # statistics a per-bin correction of the few significant bins carries
+    # less noise than the residual it removes (at N=4096 it did NOT —
+    # scripts/binwise_recalibration.py, the round-3 falsification).
+    bin_ratios: Tuple[float, ...] | None = None
 
     def ratio(self, k):
-        """Fitted power ratio r(k), clamped to the fit range and clip."""
+        """Fitted power ratio r(k) — smooth polynomial part only, clamped
+        to the fit range and clip.  The binwise component (``bin_ratios``)
+        is index-based and composed in :func:`total_ratio` / the filter."""
         k = np.clip(np.asarray(k, np.float64), self.k_min, self.k_max)
         r = np.polyval(np.asarray(self.coeffs, np.float64), k)
         return np.clip(r, self.clip[0], self.clip[1])
+
+    def bin_ratio(self, k, n: int):
+        """Binwise power-ratio component at physical |k| for an n-pixel map
+        (1.0 everywhere when no binwise table is present)."""
+        k = np.asarray(k, np.float64)
+        if self.bin_ratios is None:
+            return np.ones_like(k)
+        dk = 2 * np.pi / (n * self.dl)
+        idx = np.rint(k / dk).astype(np.int64)
+        table = np.asarray(self.bin_ratios, np.float64)
+        safe = np.minimum(idx, len(table) - 1)
+        return np.where(idx < len(table), table[safe], 1.0)
+
+    def total_ratio(self, k, n: int):
+        """Full fitted power ratio: polynomial x binwise."""
+        return self.ratio(k) * self.bin_ratio(k, n)
 
     def save(self, path: str, meta: dict | None = None) -> None:
         """Save the filter, optionally with provenance metadata.
@@ -75,6 +104,8 @@ class SpectralCalibration:
         extra = {}
         for key, val in (meta or {}).items():
             extra[f"meta_{key}"] = np.asarray(val)
+        if self.bin_ratios is not None:
+            extra["bin_ratios"] = np.asarray(self.bin_ratios, np.float64)
         np.savez(
             path,
             coeffs=np.asarray(self.coeffs, np.float64),
@@ -88,12 +119,16 @@ class SpectralCalibration:
     @staticmethod
     def load(path: str) -> "SpectralCalibration":
         z = np.load(path)
+        bin_ratios = None
+        if "bin_ratios" in z.files:
+            bin_ratios = tuple(float(v) for v in z["bin_ratios"])
         return SpectralCalibration(
             coeffs=tuple(float(c) for c in z["coeffs"]),
             k_min=float(z["k_min"]),
             k_max=float(z["k_max"]),
             dl=float(z["dl"]),
             clip=(float(z["clip"][0]), float(z["clip"][1])),
+            bin_ratios=bin_ratios,
         )
 
 
@@ -165,13 +200,23 @@ def _amplitude_filter(calib: SpectralCalibration, shape: Tuple[int, int]):
     """(H, W//2+1) rfft2-layout amplitude filter g(|k|) = r_fit(|k|)^(-1/2).
 
     DC is always passed through untouched (g=1): the calibration corrects
-    the fluctuation spectrum, never the map mean.
+    the fluctuation spectrum, never the map mean.  When the calibration
+    carries a binwise component, every mode in linear P(k) bin i (the
+    ops/spectrum.py rint binning) is additionally divided by
+    sqrt(bin_ratios[i]), so the binned mean P(k) scales by exactly
+    1/bin_ratios[i] — a bin-exact correction of bin-local residuals the
+    smooth polynomial cannot follow.
     """
     h, w = shape
+    if calib.bin_ratios is not None and h != w:
+        raise ValueError(
+            "binwise calibration tables are tied to the square-map linear "
+            f"binning; got shape {shape}"
+        )
     ky = 2 * np.pi * np.fft.fftfreq(h, calib.dl)
     kx = 2 * np.pi * np.fft.rfftfreq(w, calib.dl)
     kgrid = np.sqrt(ky[:, None] ** 2 + kx[None, :] ** 2)
-    g = 1.0 / np.sqrt(calib.ratio(kgrid))
+    g = 1.0 / np.sqrt(calib.total_ratio(kgrid, h))
     g[0, 0] = 1.0
     return jnp.asarray(g, jnp.float32)
 

@@ -95,6 +95,22 @@ def main():
     # Calibrated strided rows, out-of-sample validation of a fitted
     # spectral calibration (scripts/fit_calibration.py): "steps:calib.npz"
     ap.add_argument("--calibrated", nargs="*", default=[])
+    # Sampling-seed base for the calibrated rows.  The default (5000) is the
+    # stage-B protocol; a refit validation (scripts/fit_binwise_residual.py)
+    # MUST use a different base so its maps are fresh draws, not the exact
+    # maps the refit's residuals were measured on (same PRNGKey => identical
+    # sampler output).
+    ap.add_argument("--cal-seed-base", type=int, default=5000)
+    # Generate one MORE independent exact-chain DDPM row ("seed C") with
+    # this seed base.  Scoring a validation run against the mean of two
+    # untouched references (B and C) halves the reference noise variance —
+    # the N=16384 protocol of scripts/score_n16k_final.py.
+    ap.add_argument("--extra-floor-seed", type=int, default=None)
+    # Allow --ref-from with a different --eval-maps than the reference
+    # sweep's: the mean P(k) is an unbiased estimator at any N, so a larger
+    # validation run may be scored against smaller-N references (their
+    # noise floors stay quoted at their own N).
+    ap.add_argument("--ref-eval-ok", action="store_true")
     # Train + checkpoint only (for [re]creating the reference-scale model,
     # e.g. under artifacts/certification/model); the sweep is skipped.
     ap.add_argument("--train-only", action="store_true")
@@ -357,11 +373,17 @@ def main():
     if args.ref_from:
         with open(args.ref_from) as f:
             prev = json.load(f)
-        for field, want in (("n_eval_maps", n_eval), ("guide_w", args.guide_w),
-                            ("timesteps", T), ("scaling", args.scaling)):
+        checks = [("guide_w", args.guide_w), ("timesteps", T),
+                  ("scaling", args.scaling)]
+        if not args.ref_eval_ok:
+            checks.insert(0, ("n_eval_maps", n_eval))
+        for field, want in checks:
             assert prev[field] == want, (
                 f"--ref-from protocol mismatch: {field}={prev[field]} != {want}"
             )
+        if args.ref_eval_ok and prev["n_eval_maps"] != n_eval:
+            print(f"--ref-eval-ok: scoring {n_eval}-map rows against "
+                  f"{prev['n_eval_maps']}-map references", flush=True)
         # Older certification.json files carry no checkpoint fingerprint;
         # when one is present it must match the checkpoint in use.
         assert prev.get("checkpoint_fingerprint", ckpt_fp) == ckpt_fp, (
@@ -509,6 +531,29 @@ def main():
             f"DDPM {T}, independent seed", T, tp_ddpm, stats_b.pk,
             pdf=stats_b.pdf, elbo=stats_b.elbo, bpd=stats_b.bpd,
             note="estimator noise floor",
+        )
+    if args.extra_floor_seed is not None:
+        # A second untouched exact-chain reference ("seed C"), fully
+        # independent like seed B (own x_init, own noise).  Never enters any
+        # fit or the floor; scripts/score_n16k_final.py scores validation
+        # rows against mean(B, C) to halve the reference noise variance.
+        print("extra reference: third independent DDPM run (seed C)...",
+              flush=True)
+
+        def ddpm_slice_x(x0, pp, si):
+            return sample_ddpm(
+                inf_model, inf_vars, schedule,
+                jax.random.PRNGKey(args.extra_floor_seed + si),
+                n_sample=x0.shape[0], size=64, params=pp,
+                guide_w=args.guide_w, measure_timing=False,
+            ).x
+
+        stats_c = gen_mean_pk(ddpm_slice_x, f"DDPM-{T} seed C")
+        add_row(
+            f"DDPM {T}, independent seed C", T, tp_ddpm, stats_c.pk,
+            pdf=stats_c.pdf, elbo=stats_c.elbo, bpd=stats_c.bpd,
+            note=f"second untouched reference (seed base "
+                 f"{args.extra_floor_seed})",
         )
     # The floor row's own battery distances vs seed A ARE the battery floors.
     floor_row_d = rows[1]
@@ -668,13 +713,18 @@ def main():
             def calib_slice(x0, pp, si, c_steps=c_steps, calib=calib,
                             raw_sample=raw_sample):
                 maps = raw_sample(
-                    jax.random.PRNGKey(5000 + c_steps + si), x0.shape[0],
-                    pp, x0,
+                    jax.random.PRNGKey(args.cal_seed_base + c_steps + si),
+                    x0.shape[0], pp, x0,
                 )
                 return apply_spectral_calibration(maps, calib)
 
+            # Non-default seed bases are part of the cache identity: the
+            # same calibration at a different base is a different map set.
+            seed_key = ("" if args.cal_seed_base == 5000
+                        else f":s{args.cal_seed_base}")
             st = gen_mean_pk(
-                calib_slice, label, extra_key=_file_md5(calib_path)
+                calib_slice, label,
+                extra_key=_file_md5(calib_path) + seed_key,
             )
 
             def calib_bench(s, calib=calib, raw_sample=raw_sample):

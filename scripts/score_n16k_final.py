@@ -1,0 +1,238 @@
+#!/usr/bin/env python
+"""Final scoring of the N=16384 serving-row confirmation (round-4 protocol).
+
+Protocol (SPEEDUP.md "N=16384 confirmation"): the refit calibration
+(scripts/fit_binwise_residual.py) consumes the seed-A exact-chain reference,
+so the validation run may only be scored against references that never
+entered any fit.  Two such references exist — the seed-B noise-floor run and
+the seed-C run (certify_fast_sampler --extra-floor-seed) — and the primary
+score is taken against their MEAN, which halves the reference noise variance
+(per-bin sigma_ref = sigma_single / sqrt(2)); each single-seed score is also
+reported.  The validation row itself is generated at a larger N
+(--ref-eval-ok), shrinking its own noise further.
+
+Gates (all three must hold for "certified", mirroring
+certify_fast_sampler.py but with the LITERAL 1% tolerance — no floor
+relaxation — because N=16384 references finally resolve it):
+  * throughput >= 500 maps/min/chip;
+  * max |P(k) ratio - 1| vs mean(B, C) <= 1.0%;
+  * full battery: pixel-PDF TV <= max(0.01, TV(B, C)) and |BPD delta vs
+    mean| <= max(1% |BPD|, |BPD_B - BPD_C|).
+
+Also reported, fit-independent: the three pairwise reference distances
+(A-B, A-C, B-C) — realizations of the estimator noise floor — and a
+zero-bias consistency p-value: the probability that a PERFECT sampler's
+validation run would show a max-bin deviation at least as large as observed,
+under the measured noise model (Gaussian mode-counting noise times the
+non-Gaussian inflation profile of fit_binwise_residual.inflation_profile;
+fit-transfer noise is deliberately omitted, which biases the p-value DOWN —
+against certification).
+
+Usage:
+  python scripts/score_n16k_final.py refs.json validation.json -o final.json
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _pk(row):
+    return np.asarray(row["pk"], np.float64)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("refs_json",
+                    help="certification.json carrying seed A/B/C rows")
+    ap.add_argument("val_json",
+                    help="certification.json carrying the validation row(s)")
+    ap.add_argument("-o", "--out", required=True)
+    args = ap.parse_args()
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "fit_binwise_residual",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "fit_binwise_residual.py"),
+    )
+    fbr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(fbr)
+
+    from camels_diffusion_model_tpu.ops.spectrum import _linear_bin_info
+
+    with open(args.refs_json) as f:
+        refs = json.load(f)
+    with open(args.val_json) as f:
+        val = json.load(f)
+    for field in ("guide_w", "timesteps", "scaling", "checkpoint_fingerprint"):
+        assert refs[field] == val[field], (
+            f"refs/val protocol mismatch: {field}"
+        )
+
+    k = np.asarray(refs["k_bins"], np.float64)
+    pk_a = np.asarray(refs["pk_ddpm_ref"], np.float64)
+    floor_rows = [r for r in refs["rows"]
+                  if "independent seed" in r["config"]]
+    b_rows = [r for r in floor_rows if not r["config"].endswith("seed C")]
+    c_rows = [r for r in floor_rows if r["config"].endswith("seed C")]
+    if not b_rows or not c_rows:
+        raise SystemExit(
+            "refs json must carry BOTH the independent-seed (B) and the "
+            "independent seed C rows (certify_fast_sampler "
+            "--extra-floor-seed)"
+        )
+    row_b, row_c = b_rows[0], c_rows[0]
+    pk_b, pk_c = _pk(row_b), _pk(row_c)
+    pk_bc = 0.5 * (pk_b + pk_c)
+    good = (k > 0) & np.isfinite(pk_a) & (pk_a > 0)
+    good &= np.isfinite(pk_b) & (pk_b > 0) & np.isfinite(pk_c) & (pk_c > 0)
+
+    def err(p, q):
+        r = p[good] / q[good]
+        return (float(100 * np.max(np.abs(r - 1))),
+                float(100 * np.mean(np.abs(r - 1))))
+
+    n_ref = refs["n_eval_maps"]
+    n_val = val["n_eval_maps"]
+    floors = {
+        "A_vs_B": err(pk_a, pk_b),
+        "A_vs_C": err(pk_a, pk_c),
+        "B_vs_C": err(pk_b, pk_c),
+    }
+
+    # noise model for the zero-bias p-value (see module docstring)
+    _, counts, n_bins, k_bins = _linear_bin_info((64, 64), 1.0)
+    counts = np.asarray(counts, np.float64)
+    infl = fbr.inflation_profile(k_bins)
+    gi = np.where(good)[0]
+    sig_ref1 = infl[gi] / np.sqrt(counts[gi] * n_ref)   # one reference run
+    sig_val = infl[gi] / np.sqrt(counts[gi] * n_val)    # the validation run
+    sig_tot = np.sqrt(sig_val**2 + 0.5 * sig_ref1**2)   # vs mean(B, C)
+    rng = np.random.default_rng(20260819)
+    mc_max = 100 * np.max(
+        np.abs(rng.normal(0.0, sig_tot, (200000, gi.size))), axis=1
+    )
+
+    delta = refs["pdf_bin_delta"]
+    pdf_b = np.asarray(row_b["pdf"], np.float64)
+    pdf_c = np.asarray(row_c["pdf"], np.float64)
+    pdf_bc = 0.5 * (pdf_b + pdf_c)
+
+    def tv(p, q):
+        return float(0.5 * np.abs(np.asarray(p, np.float64) - q).sum()
+                     * delta)
+
+    pdf_floor = tv(pdf_b, pdf_c)
+    bpd_b, bpd_c = row_b["bpd"], row_c["bpd"]
+    bpd_bc = 0.5 * (bpd_b + bpd_c)
+    bpd_floor = abs(bpd_b - bpd_c)
+    pdf_tol = max(0.01, pdf_floor)
+    bpd_tol = max(0.01 * abs(bpd_bc), bpd_floor)
+
+    out_rows = []
+    certified = []
+    certified_full = []
+    for r in val["rows"]:
+        if r["steps"] == val["timesteps"]:
+            continue  # quoted reference rows
+        row = dict(r)
+        pk_v = _pk(r)
+        for name, ref_pk in (("A", pk_a), ("B", pk_b), ("C", pk_c),
+                             ("meanBC", pk_bc)):
+            mx, mn = err(pk_v, ref_pk)
+            row[f"max_err_vs_{name}_pct"] = round(mx, 2)
+            row[f"mean_err_vs_{name}_pct"] = round(mn, 2)
+        obs = row["max_err_vs_meanBC_pct"]
+        row["zero_bias_p_value"] = round(float((mc_max >= obs).mean()), 4)
+        row["noise_model_median_max_pct"] = round(
+            float(np.median(mc_max)), 2
+        )
+        if "pdf" in r:
+            row["pdf_tv_vs_meanBC"] = round(tv(r["pdf"], pdf_bc), 7)
+        if "bpd" in r:
+            row["bpd_delta_vs_meanBC"] = float(r["bpd"] - bpd_bc)
+        spectral_ok = obs <= 1.0
+        tp_ok = (r["maps_per_min"] is not None
+                 and r["maps_per_min"] >= 500)
+        battery_ok = (
+            row.get("pdf_tv_vs_meanBC") is not None
+            and row["pdf_tv_vs_meanBC"] <= pdf_tol
+            and row.get("bpd_delta_vs_meanBC") is not None
+            and abs(row["bpd_delta_vs_meanBC"]) <= bpd_tol
+        )
+        row["certified_literal_1pct"] = bool(spectral_ok and tp_ok)
+        row["certified_full_battery"] = bool(
+            spectral_ok and tp_ok and battery_ok
+        )
+        if row["certified_literal_1pct"]:
+            certified.append(r["config"])
+        if row["certified_full_battery"]:
+            certified_full.append(r["config"])
+        out_rows.append(row)
+
+    result = {
+        "protocol": (
+            "N=16384 three-reference confirmation: refit calibration fitted "
+            "on seed A only; validation generated with fresh seeds at "
+            f"N={n_val} and scored against mean(seed B, seed C) at "
+            f"N={n_ref} each; literal 1% tolerance (no floor relaxation)"
+        ),
+        "checkpoint_fingerprint": refs["checkpoint_fingerprint"],
+        "guide_w": refs["guide_w"],
+        "n_eval_refs": n_ref,
+        "n_eval_validation": n_val,
+        "reference_pair_distances_max_mean_pct": {
+            name: [round(v, 2) for v in pair]
+            for name, pair in floors.items()
+        },
+        "pdf_floor_tv_BC": round(pdf_floor, 7),
+        "bpd_floor_abs_BC": float(bpd_floor),
+        "pdf_tolerance": round(pdf_tol, 7),
+        "bpd_tolerance": float(bpd_tol),
+        "noise_model": (
+            "sigma_bin = inflation(k)/sqrt(modes*N); inflation measured "
+            "from independent exact-chain pairs "
+            "(scripts/fit_binwise_residual.py); fit-transfer noise omitted "
+            "(conservative for the p-value)"
+        ),
+        "rows": out_rows,
+        "certified_literal_1pct": certified,
+        "certified_full_battery": certified_full,
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+
+    print("reference pair distances (max% / mean%):")
+    for name, (mx, mn) in floors.items():
+        print(f"  {name}: {mx:.2f} / {mn:.2f}")
+    print(f"battery floors (B vs C): pdf TV {pdf_floor:.5f}, "
+          f"|dBPD| {bpd_floor:.2e}")
+    for row in out_rows:
+        print(f"\n{row['config']}  ({row['maps_per_min']} maps/min, "
+              f"N={n_val}):")
+        print(f"  max|P(k) ratio-1|: vs mean(B,C) "
+              f"{row['max_err_vs_meanBC_pct']}%  "
+              f"(vs A {row['max_err_vs_A_pct']}%, "
+              f"B {row['max_err_vs_B_pct']}%, "
+              f"C {row['max_err_vs_C_pct']}%)")
+        print(f"  zero-bias p-value {row['zero_bias_p_value']} "
+              f"(noise-model median max "
+              f"{row['noise_model_median_max_pct']}%)")
+        print(f"  pdf TV vs mean(B,C) {row.get('pdf_tv_vs_meanBC')} "
+              f"(tol {pdf_tol:.5f}); dBPD "
+              f"{row.get('bpd_delta_vs_meanBC'):+.2e} (tol {bpd_tol:.2e})")
+        print(f"  certified (literal <=1.0% + >=500 maps/min): "
+              f"{row['certified_literal_1pct']}; full battery: "
+              f"{row['certified_full_battery']}")
+    print(f"\nwritten: {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -207,3 +207,170 @@ def test_binwise_recalibration_reproduces_committed_verdict(tmp_path):
         g["max_err_indep_pct"] for r in got["rows"] for g in r["gates"]
     )
     assert best_binwise >= best_baseline
+
+
+# ---------------------------------------------------------------------------
+# Binwise calibration component (SpectralCalibration.bin_ratios) + the
+# high-statistics refit (scripts/fit_binwise_residual.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bin_ratios_roundtrip_and_total_ratio(tmp_path):
+    table = tuple(1.0 + 0.01 * np.sin(np.arange(47.0)))
+    calib = SpectralCalibration(
+        coeffs=(0.5, 0.9), k_min=0.1, k_max=4.4, bin_ratios=table,
+    )
+    p = tmp_path / "c.npz"
+    calib.save(str(p), meta={"checkpoint_fingerprint": "abc"})
+    back = SpectralCalibration.load(str(p))
+    assert back == calib
+    k = np.linspace(0.0, 4.5, 30)
+    np.testing.assert_allclose(
+        back.total_ratio(k, 64), back.ratio(k) * back.bin_ratio(k, 64)
+    )
+    # legacy npz (no table) still loads with bin_ratios=None and a unit
+    # binwise component
+    base = SpectralCalibration(coeffs=(1.0,), k_min=0.1, k_max=4.4)
+    p2 = tmp_path / "legacy.npz"
+    base.save(str(p2))
+    legacy = SpectralCalibration.load(str(p2))
+    assert legacy.bin_ratios is None
+    np.testing.assert_allclose(legacy.bin_ratio(k, 64), 1.0)
+
+
+def test_binwise_filter_scales_measured_bins_exactly():
+    # Every Fourier mode of linear bin i is scaled identically, so the
+    # measured per-map linear-bin P(k) divides by exactly
+    # poly_bin_mean * bin_ratios[i]; with a unit polynomial the binwise
+    # part is bin-exact on its own.
+    _, counts, n_bins, _ = _linear_bin_info((64, 64), 1.0)
+    rng = np.random.default_rng(11)
+    table = 1.0 + 0.03 * rng.standard_normal(n_bins)
+    calib = SpectralCalibration(
+        coeffs=(1.0,), k_min=0.01, k_max=10.0, clip=(0.5, 2.0),
+        bin_ratios=tuple(float(v) for v in table),
+    )
+    x = rng.normal(size=(4, 64, 64)).astype(np.float32)
+    out = np.asarray(apply_spectral_calibration(x, calib))
+    k, pk_in = power_spectrum_batch(x)
+    _, pk_out = power_spectrum_batch(out)
+    pk_in = np.asarray(pk_in).mean(0)
+    pk_out = np.asarray(pk_out).mean(0)
+    good = (np.asarray(k) > 0) & (np.asarray(counts) > 0)
+    np.testing.assert_allclose(
+        pk_out[good], (pk_in / table)[good], rtol=5e-4
+    )
+    # DC (map mean) stays untouched even when table[0] != 1
+    np.testing.assert_allclose(out.mean(axis=(1, 2)), x.mean(axis=(1, 2)),
+                               rtol=1e-5)
+
+
+def test_binwise_filter_rejects_non_square():
+    calib = SpectralCalibration(
+        coeffs=(1.0,), k_min=0.01, k_max=10.0, bin_ratios=(1.0,) * 47,
+    )
+    with pytest.raises(ValueError, match="square"):
+        apply_spectral_calibration(np.zeros((2, 32, 64), np.float32), calib)
+
+
+def _load_fit_binwise_module():
+    import importlib.util
+    import pathlib
+
+    path = (pathlib.Path(__file__).parent.parent / "scripts"
+            / "fit_binwise_residual.py")
+    spec = importlib.util.spec_from_file_location("fit_binwise_residual", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_fit_binwise_recovers_smooth_plus_corner_anomaly():
+    # Synthetic residual: a smooth curve + a genuine bin-local anomaly in
+    # the corner zone + per-bin noise.  The fit must (a) follow the smooth
+    # part without chasing noise, (b) capture the corner anomaly binwise,
+    # (c) leave pure-noise bins on the smooth curve (lambda = 0).
+    mod = _load_fit_binwise_module()
+    _, counts, n_bins, k_bins = _linear_bin_info((64, 64), 1.0)
+    counts = np.asarray(counts, float)
+    k_bins = np.asarray(k_bins)
+    good = (k_bins > 0) & (counts > 0)
+    k = k_bins[good]
+    smooth_true = 1.0 + 0.004 * np.sin(k) + 0.002 * k / 4.0
+    sigma = mod.inflation_profile(k) / np.sqrt(counts[good]) * np.sqrt(2 / 16384)
+    rng = np.random.default_rng(3)
+    res = smooth_true + 0.3 * sigma * rng.standard_normal(k.size)
+    corner = k > 4.25
+    res[corner] += np.array([0.015, -0.02])  # genuine corner anomaly
+    table, fit, lam, corner_mask = mod.fit_binwise(
+        k, counts[good], res, sigma, cheb_deg=10
+    )
+    np.testing.assert_array_equal(corner_mask, corner)
+    # smooth part recovered well away from the corner
+    assert np.abs(fit[~corner] - smooth_true[~corner]).max() < 0.002
+    # corner anomaly captured binwise (shrunk toward, not onto, res)
+    assert np.all(lam[corner] > 0.8)
+    assert np.abs(table[corner] - res[corner]).max() < 0.004
+    # low-noise bins with sub-sigma blips keep the smooth value
+    calm = (~corner) & (np.abs(res - fit) <= sigma)
+    np.testing.assert_allclose(table[calm], fit[calm])
+
+
+def test_fit_binwise_script_end_to_end(tmp_path):
+    # Full script run on synthetic pk_cache npz files: provenance checks,
+    # table written, fingerprints stamped; mismatched inputs rejected.
+    import pathlib
+    import subprocess
+    import sys
+
+    from camels_diffusion_model_tpu.diffusion.calibration import (
+        load_calibration_meta,
+    )
+
+    repo = pathlib.Path(__file__).parent.parent
+    script = repo / "scripts" / "fit_binwise_residual.py"
+    _, counts, n_bins, k_bins = _linear_bin_info((64, 64), 1.0)
+    base = SpectralCalibration(coeffs=(1.0,), k_min=0.1, k_max=4.4)
+    base_path = tmp_path / "base.npz"
+    base.save(str(base_path), meta={"checkpoint_fingerprint": "ck123"})
+    import hashlib
+
+    base_md5 = hashlib.md5(base_path.read_bytes()).hexdigest()
+    pk_ref = np.where(np.asarray(counts) > 0, 100.0, np.nan)
+    pk_cal = pk_ref * (1.0 + 0.01)
+    fp_ref = "ck123:T1500:standard:p1000"
+    fp_cal = fp_ref + ":" + base_md5
+    ref_path = tmp_path / "ref.npz"
+    cal_path = tmp_path / "cal.npz"
+    np.savez(ref_path, k=k_bins, pk=pk_ref, n_eval=16384, guide_w=2.0,
+             fingerprint=fp_ref)
+    np.savez(cal_path, k=k_bins, pk=pk_cal, n_eval=16384, guide_w=2.0,
+             fingerprint=fp_cal)
+    out = tmp_path / "refit.npz"
+    r = subprocess.run(
+        [sys.executable, str(script), "--base-calib", str(base_path),
+         "--cal-pk", str(cal_path), "--ref-pk", str(ref_path),
+         "-o", str(out)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    refit = SpectralCalibration.load(str(out))
+    assert refit.coeffs == base.coeffs
+    table = np.asarray(refit.bin_ratios)
+    goodb = (np.asarray(k_bins) > 0) & (np.asarray(counts) > 0)
+    # a constant +1% residual must be captured by the smooth part
+    np.testing.assert_allclose(table[goodb], 1.01, atol=1.5e-3)
+    meta = load_calibration_meta(str(out))
+    assert meta["checkpoint_fingerprint"] == "ck123"
+    assert meta["refit_base_calib_md5"] == base_md5
+    # provenance rejection: cal-pk generated with a DIFFERENT calibration
+    np.savez(cal_path, k=k_bins, pk=pk_cal, n_eval=16384, guide_w=2.0,
+             fingerprint=fp_ref + ":deadbeef")
+    r2 = subprocess.run(
+        [sys.executable, str(script), "--base-calib", str(base_path),
+         "--cal-pk", str(cal_path), "--ref-pk", str(ref_path),
+         "-o", str(out)],
+        capture_output=True, text=True,
+    )
+    assert r2.returncode != 0
+    assert "does not embed" in r2.stderr
