@@ -38,14 +38,17 @@ def _committed_checkpoint_md5(art_dir):
 
 def _n16k_confirmation(art_dir, guide_w, ckpt_md5):
     """Summary of a committed N=16384 confirmation artifact
-    (scripts/run_n16k_confirmation.sh -> confirmation_w*_n16384.indep.json)
-    for one guidance setting, or None.  At N=16384 the mean-P(k)
-    Monte-Carlo floor drops to ~0.85% max-bin, so BASELINE.md's literal
-    "power spectra within 1%" clause becomes measurable —
-    ``within_1pct_literal`` records its resolution.  Fingerprint-verified
-    like every other quoted artifact."""
+    (scripts/run_n16k_confirmation.sh four-phase protocol ->
+    artifacts/certification/n16k/w*/n16k_final.json) for one guidance
+    setting, or None.  At N=16384 the mean-P(k) Monte-Carlo floor drops to
+    ~1% max-bin, so BASELINE.md's literal "power spectra within 1%" clause
+    becomes measurable: the final scoring (scripts/score_n16k_final.py)
+    compares a fresh-seed refit-calibrated validation run against the mean
+    of TWO untouched independent exact-chain references with the literal 1%
+    tolerance — ``within_1pct_literal`` records its resolution.
+    Fingerprint-verified like every other quoted artifact."""
     path = os.path.join(
-        art_dir, f"confirmation_w{int(guide_w)}_n16384.indep.json"
+        art_dir, "n16k", f"w{int(guide_w)}", "n16k_final.json"
     )
     if not os.path.exists(path):
         return None
@@ -60,20 +63,22 @@ def _n16k_confirmation(art_dir, guide_w, ckpt_md5):
                 file=sys.stderr,
             )
             return None
-        # The confirmation run holds the reference row, the independent
-        # noise-floor row, and ONE calibrated fast row (the certified pick).
-        fast = [r for r in d["rows"] if r["steps"] != d["timesteps"]]
-        if not fast:
+        # The final scoring holds the ONE refit-calibrated validation row.
+        if not d["rows"]:
             return None
-        best = min(fast, key=lambda r: r["max_err_vs_indep_pct"])
+        best = min(d["rows"], key=lambda r: r["max_err_vs_meanBC_pct"])
         return {
-            "eval_maps": d.get("n_eval_maps", 16384),
+            "eval_maps_refs": d.get("n_eval_refs", 16384),
+            "eval_maps_validation": d.get("n_eval_validation"),
             "config": best["config"],
             "maps_per_min": best["maps_per_min"],
-            "max_err_vs_indep_pct": best["max_err_vs_indep_pct"],
-            "mean_err_vs_indep_pct": best.get("mean_err_vs_indep_pct"),
-            "noise_floor_max_pct": d["noise_floor_max_pct_indep"],
-            "within_1pct_literal": best["max_err_vs_indep_pct"] <= 1.0,
+            "max_err_vs_meanBC_pct": best["max_err_vs_meanBC_pct"],
+            "mean_err_vs_meanBC_pct": best.get("mean_err_vs_meanBC_pct"),
+            "reference_pair_distances_max_mean_pct":
+                d.get("reference_pair_distances_max_mean_pct"),
+            "zero_bias_p_value": best.get("zero_bias_p_value"),
+            "within_1pct_literal": bool(best.get("certified_literal_1pct")),
+            "full_battery": bool(best.get("certified_full_battery")),
         }
     except Exception as e:
         print(f"bench.py: skipping n16k confirmation {path}: {e!r}",

@@ -183,23 +183,30 @@ def test_bench_summary_verifies_checkpoint_stamp(tmp_path, capsys):
 
 
 def _mk_confirmation_json(art, fp, max_err=0.93):
+    # score_n16k_final.py output (the four-phase protocol's final artifact)
     d = {
         "guide_w": 2.0,
         "checkpoint_fingerprint": fp,
-        "timesteps": 100,
-        "n_eval_maps": 16384,
-        "noise_floor_max_pct_indep": 0.85,
+        "n_eval_refs": 16384,
+        "n_eval_validation": 65536,
+        "reference_pair_distances_max_mean_pct": {
+            "A_vs_B": [0.99, 0.24], "A_vs_C": [0.9, 0.2],
+            "B_vs_C": [0.8, 0.22],
+        },
         "rows": [
-            {"config": "DDPM 100 (reference math)", "steps": 100,
-             "maps_per_min": 200.0, "max_err_vs_indep_pct": 0.0,
-             "mean_err_vs_indep_pct": 0.0},
             {"config": "strided DDPM 10 + spectral calibration", "steps": 10,
-             "maps_per_min": 900.0, "max_err_vs_indep_pct": max_err,
-             "mean_err_vs_indep_pct": 0.3},
+             "maps_per_min": 900.0, "max_err_vs_meanBC_pct": max_err,
+             "mean_err_vs_meanBC_pct": 0.3, "zero_bias_p_value": 0.4,
+             "certified_literal_1pct": max_err <= 1.0,
+             "certified_full_battery": max_err <= 1.0},
         ],
+        "certified_literal_1pct": (
+            ["strided DDPM 10 + spectral calibration"] if max_err <= 1.0
+            else []
+        ),
     }
-    with open(os.path.join(art, "confirmation_w2_n16384.indep.json"),
-              "w") as f:
+    os.makedirs(os.path.join(art, "n16k", "w2"), exist_ok=True)
+    with open(os.path.join(art, "n16k", "w2", "n16k_final.json"), "w") as f:
         json.dump(d, f)
 
 
@@ -220,9 +227,11 @@ def test_bench_summary_quotes_n16k_confirmation(tmp_path, capsys):
     _mk_confirmation_json(art, good_fp, max_err=0.93)
     out = bench.certified_serving_summary(art_dir=art)
     conf = out[0]["n16384_confirmation"]
-    assert conf["eval_maps"] == 16384
+    assert conf["eval_maps_refs"] == 16384
+    assert conf["eval_maps_validation"] == 65536
     assert conf["maps_per_min"] == 900.0
     assert conf["within_1pct_literal"] is True
+    assert conf["zero_bias_p_value"] == 0.4
     assert conf["config"] == "strided DDPM 10 + spectral calibration"
 
     # a miss is reported honestly, not dropped
