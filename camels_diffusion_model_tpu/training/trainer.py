@@ -149,10 +149,14 @@ def make_train_step(
       deeper variants whose activations exceed HBM;
     * ``"convs"`` — selective: save ONLY conv/matmul outputs (the tensors
       tagged ``blocks.saveable``) and recompute BatchNorm/activation
-      epilogues in the backward pass.  The batch-32 step is HBM-bound at
-      94% of the bandwidth roofline with ~3 saved tensors per conv layer;
-      this cuts that to ~1, trading cheap VPU recompute for the dominant
-      HBM cost.
+      epilogues in the backward pass.  Predicted to cut the HBM-bound
+      batch-32 step's saved-tensor traffic ~3 -> ~1 per conv; MEASURED
+      (v5e, scripts/remat_diagnosis.py + BENCH_REMAT, 2026-08-19,
+      artifacts/diagnostics_r4/): it does NOT — bytes moved go UP 10%
+      (11.74 -> 12.91 GB/step) because the recompute segments re-read the
+      saved conv outputs and parameters, and throughput drops 4.8%
+      (device-resident) to 25% (host-input bench path).  Kept as a policy
+      template for deeper variants; the measured default is ``False``.
     """
 
     from ..diffusion.schedule import make_schedule
