@@ -20,13 +20,18 @@ relaxation — because N=16384 references finally resolve it):
     mean| <= max(1% |BPD|, |BPD_B - BPD_C|).
 
 Also reported, fit-independent: the three pairwise reference distances
-(A-B, A-C, B-C) — realizations of the estimator noise floor — and a
-zero-bias consistency p-value: the probability that a PERFECT sampler's
-validation run would show a max-bin deviation at least as large as observed,
-under the measured noise model (Gaussian mode-counting noise times the
-non-Gaussian inflation profile of fit_binwise_residual.inflation_profile;
-fit-transfer noise is deliberately omitted, which biases the p-value DOWN —
-against certification).
+(A-B, A-C, B-C) — realizations of the estimator noise floor — and TWO
+zero-bias consistency p-values bracketing the truth: the probability that a
+PERFECT sampler's validation run would show a max-bin deviation at least as
+large as observed, under the measured noise model (Gaussian mode-counting
+noise times the non-Gaussian inflation profile of
+fit_binwise_residual.inflation_profile).  The first omits fit-transfer
+noise entirely (biases the p-value DOWN — against certification); the
+second adds one full reference realization of transferred seed-A noise
+(lambda=1 upper bound — biases it UP).  Supplementary reporting: the
+argmax bin's identity/mode count and the max restricted to >=8-mode bins,
+so a certification miss driven by a 5-mode Nyquist-corner bin is
+self-diagnosing from the artifact alone.
 
 Usage:
   python scripts/score_n16k_final.py refs.json validation.json -o final.json
@@ -115,10 +120,16 @@ def main():
     sig_ref1 = infl[gi] / np.sqrt(counts[gi] * n_ref)   # one reference run
     sig_val = infl[gi] / np.sqrt(counts[gi] * n_val)    # the validation run
     sig_tot = np.sqrt(sig_val**2 + 0.5 * sig_ref1**2)   # vs mean(B, C)
+    # Conservative bracket: the refit consumed seed A, so up to one full
+    # reference realization of noise rides into the corrected row (lambda=1
+    # bound at every bin; the true transfer is smaller — the smooth
+    # Chebyshev averages A's noise over ~4x more bins than coefficients and
+    # the binwise lambdas are < 1).  The two p-values bracket the truth.
+    sig_tot_ft = np.sqrt(sig_tot**2 + sig_ref1**2)
     rng = np.random.default_rng(20260819)
-    mc_max = 100 * np.max(
-        np.abs(rng.normal(0.0, sig_tot, (200000, gi.size))), axis=1
-    )
+    draws = rng.normal(0.0, 1.0, (200000, gi.size))
+    mc_max = 100 * np.max(np.abs(draws * sig_tot), axis=1)
+    mc_max_ft = 100 * np.max(np.abs(draws * sig_tot_ft), axis=1)
 
     delta = refs["pdf_bin_delta"]
     pdf_b = np.asarray(row_b["pdf"], np.float64)
@@ -150,9 +161,29 @@ def main():
             row[f"max_err_vs_{name}_pct"] = round(mx, 2)
             row[f"mean_err_vs_{name}_pct"] = round(mn, 2)
         obs = row["max_err_vs_meanBC_pct"]
+        # per-bin detail of the authoritative comparison, so a max driven
+        # by a few-mode corner bin is self-explanatory in the artifact
+        rel = 100 * (pk_v[good] / pk_bc[good] - 1)
+        imax = int(np.argmax(np.abs(rel)))
+        row["argmax_bin"] = {
+            "bin": int(gi[imax]),
+            "k": round(float(k[gi[imax]]), 4),
+            "modes": int(counts[gi[imax]]),
+            "signed_err_pct": round(float(rel[imax]), 3),
+        }
+        ge8 = counts[gi] >= 8
+        row["max_err_vs_meanBC_ge8modes_pct"] = round(
+            float(np.max(np.abs(rel[ge8]))), 2
+        )
         row["zero_bias_p_value"] = round(float((mc_max >= obs).mean()), 4)
+        row["zero_bias_p_value_fit_transfer"] = round(
+            float((mc_max_ft >= obs).mean()), 4
+        )
         row["noise_model_median_max_pct"] = round(
             float(np.median(mc_max)), 2
+        )
+        row["noise_model_ft_median_max_pct"] = round(
+            float(np.median(mc_max_ft)), 2
         )
         if "pdf" in r:
             row["pdf_tv_vs_meanBC"] = round(tv(r["pdf"], pdf_bc), 7)
@@ -197,10 +228,14 @@ def main():
         "pdf_tolerance": round(pdf_tol, 7),
         "bpd_tolerance": float(bpd_tol),
         "noise_model": (
-            "sigma_bin = inflation(k)/sqrt(modes*N); inflation measured "
-            "from independent exact-chain pairs "
-            "(scripts/fit_binwise_residual.py); fit-transfer noise omitted "
-            "(conservative for the p-value)"
+            "sigma_bin = inflation(k)/sqrt(modes*N); inflation pooled from "
+            "every committed independent exact-chain realization "
+            "(scripts/measure_noise_inflation.py -> "
+            "fit_binwise_residual.inflation_profile); zero_bias_p_value "
+            "omits fit-transfer noise (conservative), "
+            "zero_bias_p_value_fit_transfer adds a lambda=1 bound of one "
+            "transferred seed-A realization (anti-conservative) - the two "
+            "bracket a perfect sampler's probability of the observed max"
         ),
         "rows": out_rows,
         "certified_literal_1pct": certified,
@@ -222,9 +257,15 @@ def main():
               f"(vs A {row['max_err_vs_A_pct']}%, "
               f"B {row['max_err_vs_B_pct']}%, "
               f"C {row['max_err_vs_C_pct']}%)")
+        am = row["argmax_bin"]
+        print(f"  argmax bin {am['bin']} (k={am['k']}, {am['modes']} modes): "
+              f"{am['signed_err_pct']:+.3f}%; max over >=8-mode bins "
+              f"{row['max_err_vs_meanBC_ge8modes_pct']}%")
         print(f"  zero-bias p-value {row['zero_bias_p_value']} "
-              f"(noise-model median max "
-              f"{row['noise_model_median_max_pct']}%)")
+              f"(median max {row['noise_model_median_max_pct']}%); "
+              f"with fit-transfer bound "
+              f"{row['zero_bias_p_value_fit_transfer']} "
+              f"(median {row['noise_model_ft_median_max_pct']}%)")
         print(f"  pdf TV vs mean(B,C) {row.get('pdf_tv_vs_meanBC')} "
               f"(tol {pdf_tol:.5f}); dBPD "
               f"{row.get('bpd_delta_vs_meanBC'):+.2e} (tol {bpd_tol:.2e})")
