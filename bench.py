@@ -79,6 +79,11 @@ def _n16k_confirmation(art_dir, guide_w, ckpt_md5):
             "zero_bias_p_value": best.get("zero_bias_p_value"),
             "within_1pct_literal": bool(best.get("certified_literal_1pct")),
             "full_battery": bool(best.get("certified_full_battery")),
+            # Pre-registered decision (score_n16k_final.py docstring):
+            # literal pass OR conservative zero-bias p >= 0.05; no reruns.
+            "confirmed_preregistered": bool(
+                best.get("confirmed_preregistered")
+            ),
         }
     except Exception as e:
         print(f"bench.py: skipping n16k confirmation {path}: {e!r}",

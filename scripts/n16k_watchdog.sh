@@ -5,11 +5,29 @@
 # Run alongside scripts/resume_n16k_r4.sh / run_n16k_confirmation.sh:
 #   bash scripts/n16k_watchdog.sh &
 # Completed per-config spectra land under artifacts/certification/n16k/
-# w{0,2}/inflight/; the resume driver knows how to restore from either the
-# final archive layout or these mirrors (same filenames).
+# w{0,2}/inflight/; scripts/resume_n16k_r4.sh restores from either the
+# final archive layout or these mirrors (val_* prefixes stripped back into
+# the validation pk_cache).  JSON mirrors are written via a temp file + mv
+# so a snapshot taken mid-write never clobbers the previous good mirror.
 set -u
 cd "$(dirname "$0")/.."
 ARC=artifacts/certification/n16k
+
+# mirror_json <src> <dst> — atomic, validated copy of a possibly-mid-write
+# JSON file; keeps the previous mirror on parse failure.
+mirror_json() {
+  local src="$1" dst="$2" tmp
+  [ -f "$src" ] || return 0
+  tmp="${dst}.tmp.$$"
+  cp -f "$src" "$tmp" 2>/dev/null || { rm -f "$tmp"; return 0; }
+  if python -c "import json,sys; json.load(open(sys.argv[1]))" "$tmp" \
+       2>/dev/null; then
+    mv -f "$tmp" "$dst"
+  else
+    rm -f "$tmp"
+  fi
+}
+
 while true; do
   for w in 2 0; do
     OUT=/tmp/cert_r4_w${w}_n16k
@@ -17,18 +35,17 @@ while true; do
     DST="$ARC/w${w}/inflight"
     mkdir -p "$DST"
     cp -f "$OUT"/pk_cache/*.npz "$DST/" 2>/dev/null
-    cp -f "$OUT/certification.json" "$DST/refs_certification.json" \
-      2>/dev/null
+    mirror_json "$OUT/certification.json" "$DST/refs_certification.json"
     cp -f "$OUT"/calib_refit_w${w}_*_n16k.npz "$DST/" 2>/dev/null
-    cp -f "$OUT/n16k_final.json" "$DST/" 2>/dev/null
+    mirror_json "$OUT/n16k_final.json" "$DST/n16k_final.json"
     if [ -d "${OUT}_val/pk_cache" ]; then
       for f in "${OUT}_val"/pk_cache/*.npz; do
         [ -e "$f" ] && cp -f "$f" "$DST/val_$(basename "$f")"
       done
-      cp -f "${OUT}_val/certification.json" "$DST/val_certification.json" \
-        2>/dev/null
-      cp -f "${OUT}_val/certification.indep.json" \
-        "$DST/val_certification.indep.json" 2>/dev/null
+      mirror_json "${OUT}_val/certification.json" \
+        "$DST/val_certification.json"
+      mirror_json "${OUT}_val/certification.indep.json" \
+        "$DST/val_certification.indep.json"
     fi
   done
   sleep 600
