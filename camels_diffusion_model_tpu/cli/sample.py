@@ -39,8 +39,16 @@ def generate_comparison_plot(
     n_cfeat: int = 6,
     height: int = 64,
     seed: Optional[int] = None,
+    serving_steps: Optional[int] = None,
+    calibration_path: Optional[str] = None,
+    guide_w: float = 0.0,
 ) -> Dict[str, np.ndarray]:
-    """Reference: sample_power_spectra.py:167-358 (same outputs/contract)."""
+    """Reference: sample_power_spectra.py:167-358 (same outputs/contract).
+
+    ``serving_steps`` / ``calibration_path`` / ``guide_w`` select the
+    certified fast-serving path explicitly (see ``serving.py``); when left
+    as None they fall back to the CAMELS_SERVING_STEPS / CAMELS_CALIBRATION
+    env opt-ins.  Default is the reference-exact unguided sampler."""
     device_platform = jax.devices()[0].platform
     print(f"Loading trained model... (platform: {device_platform})")
     model = ContextUnet(
@@ -121,27 +129,31 @@ def generate_comparison_plot(
     # DDPM sampler (the reference chain's update with composite-alpha jumps,
     # SPEEDUP.md) at n steps instead of the exact timesteps-step loop.
     # Default (unset) is the reference-exact sampler.
-    serving_steps = int(os.environ.get("CAMELS_SERVING_STEPS", "0"))
+    if serving_steps is None:
+        serving_steps = int(os.environ.get("CAMELS_SERVING_STEPS", "0"))
     key = jax.random.PRNGKey(seed if seed is not None else 0)
     if serving_steps:
         from ..diffusion.ddim import sample_ddim
 
-        print(f"  (serving fast path: strided DDPM, {serving_steps} steps)")
+        print(f"  (serving fast path: strided DDPM, {serving_steps} steps, "
+              f"guide_w={guide_w})")
         out = sample_ddim(
             model, variables, schedule, key, n_sample=n_maps, size=height,
-            params=jnp.asarray(sel), guide_w=0.0, n_steps=serving_steps,
+            params=jnp.asarray(sel), guide_w=guide_w, n_steps=serving_steps,
             sigma_mode="beta",
         )
     else:
         out = sample_ddpm(
             model, variables, schedule, key, n_sample=n_maps, size=height,
-            params=jnp.asarray(sel), guide_w=0.0,
+            params=jnp.asarray(sel), guide_w=guide_w,
         )
     x = out.x
     # CAMELS_CALIBRATION=<calib.npz>: opt-in spectral calibration of the
     # fast path — a fixed radial Fourier filter fitted offline against the
     # exact-chain reference (diffusion/calibration.py, SPEEDUP.md).
-    calib_path = os.environ.get("CAMELS_CALIBRATION")
+    calib_path = (calibration_path
+                  if calibration_path is not None
+                  else os.environ.get("CAMELS_CALIBRATION"))
     if calib_path:
         from ..diffusion.calibration import (
             SpectralCalibration,
