@@ -27,6 +27,23 @@ from camels_diffusion_model_tpu.serving import (
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _load_sps():
+    """Load the REPO's sample_power_spectra.py by explicit path.
+
+    tests/test_reference_parity.py imports the reference's same-named module
+    (its oracle), which would poison a plain ``import sample_power_spectra``
+    through sys.modules when the full suite runs in one process."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "repo_sample_power_spectra",
+        os.path.join(REPO, "sample_power_spectra.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def _mock_art_dir(tmp_path, *, steps=5, w=0, stamp_ok=True, calib=True,
                   calib_stamp=None, model_bytes=b"fake checkpoint bytes"):
     art = tmp_path / "certification"
@@ -126,9 +143,9 @@ def _fake_cfg(tmp_path, steps=3, w=2.0):
 
 
 def test_cli_serving_flag_wiring(tmp_path, monkeypatch):
-    import sample_power_spectra as sps
     import camels_diffusion_model_tpu.serving as serving_mod
 
+    sps = _load_sps()
     cfg = _fake_cfg(tmp_path)
     seen = {}
 
@@ -155,9 +172,9 @@ def test_cli_serving_flag_wiring(tmp_path, monkeypatch):
 
 
 def test_cli_serving_rejects_foreign_model(tmp_path, monkeypatch):
-    import sample_power_spectra as sps
     import camels_diffusion_model_tpu.serving as serving_mod
 
+    sps = _load_sps()
     cfg = _fake_cfg(tmp_path)
     monkeypatch.setattr(
         serving_mod, "resolve_serving_config",
@@ -174,11 +191,11 @@ def test_cli_serving_end_to_end(tmp_path, monkeypatch):
     application, and the reference artifact contract."""
     import jax
 
-    import sample_power_spectra as sps
     import camels_diffusion_model_tpu.serving as serving_mod
     from camels_diffusion_model_tpu.models import ContextUnet
     from camels_diffusion_model_tpu.training import save_model_weights
 
+    sps = _load_sps()
     cfg = _fake_cfg(tmp_path, steps=3, w=0.0)
     # Replace the fake checkpoint bytes with a REAL serialized template of
     # the full-size model so load_model_weights round-trips.
