@@ -130,3 +130,44 @@ def test_rejects_protocol_mismatch(tmp_path):
     vp.write_text(json.dumps(val))
     r = _run(rp, vp, tmp_path / "final.json")
     assert r.returncode != 0
+
+
+def test_preregistered_rule(tmp_path):
+    """The committed miss-handling decision (module docstring of the
+    scorer, committed BEFORE any n16k_final.json existed): a literal miss
+    still confirms iff the conservative zero-bias p-value >= 0.05; the
+    throughput gate applies to both; no other escape hatch."""
+    out = tmp_path / "final.json"
+    cfg = "strided DDPM 500 + spectral calibration"
+
+    # literal pass -> confirmed
+    rp, vp = _mk_jsons(tmp_path, val_offset_pct=0.5)
+    assert _run(rp, vp, out).returncode == 0
+    got = json.loads(out.read_text())
+    assert "preregistered_rule" in got
+    assert got["confirmed_preregistered"] == [cfg]
+
+    # literal miss, but consistent with a perfect sampler (p >= 0.05)
+    # -> confirmed by the pre-registered rule
+    rp, vp = _mk_jsons(tmp_path, val_offset_pct=1.1)
+    assert _run(rp, vp, out).returncode == 0
+    got = json.loads(out.read_text())
+    row = got["rows"][0]
+    assert not row["certified_literal_1pct"]
+    assert row["zero_bias_p_value"] >= 0.05
+    assert got["confirmed_preregistered"] == [cfg]
+
+    # literal miss AND a perfect sampler would essentially never show it
+    # (p < 0.05) -> a miss, reported as a miss
+    rp, vp = _mk_jsons(tmp_path, val_offset_pct=2.0)
+    assert _run(rp, vp, out).returncode == 0
+    got = json.loads(out.read_text())
+    assert got["rows"][0]["zero_bias_p_value"] < 0.05
+    assert got["confirmed_preregistered"] == []
+
+    # inside tolerance but too slow: the throughput gate blocks the
+    # pre-registered decision too
+    rp, vp = _mk_jsons(tmp_path, val_offset_pct=0.5, maps_per_min=480.0)
+    assert _run(rp, vp, out).returncode == 0
+    got = json.loads(out.read_text())
+    assert got["confirmed_preregistered"] == []
