@@ -32,6 +32,10 @@ while true; do
   for w in 2 0; do
     OUT=/tmp/cert_r4_w${w}_n16k
     [ -d "$OUT" ] || continue
+    # Once a stage's final scoring is archived, its mirrors are deleted by
+    # the resume driver — don't recreate them (committed inflight
+    # duplicates were a round-4 review finding).
+    [ -f "$ARC/w${w}/n16k_final.json" ] && continue
     DST="$ARC/w${w}/inflight"
     mkdir -p "$DST"
     cp -f "$OUT"/pk_cache/*.npz "$DST/" 2>/dev/null
