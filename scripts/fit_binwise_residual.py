@@ -86,7 +86,8 @@ def inflation_profile(k):
     return np.where(k < 0.45, 1.0, np.where(k > 4.15, 2.0, 2.3))
 
 
-def fit_binwise(k_bins, counts, res, sigma, cheb_deg, corner_k=4.25):
+def fit_binwise(k_bins, counts, res, sigma, cheb_deg, corner_k=4.25,
+                min_binwise_modes=8):
     """Weighted Chebyshev fit of the residual + shrunk binwise component.
 
     The corner zone (k > ``corner_k``: the two highest bins, holding only
@@ -104,6 +105,16 @@ def fit_binwise(k_bins, counts, res, sigma, cheb_deg, corner_k=4.25):
     the Bayes linear estimator given the per-bin noise model, so the fit
     never copies estimator noise verbatim into the filter.
 
+    Bins holding fewer than ``min_binwise_modes`` Fourier modes receive NO
+    binwise follow (lambda forced to 0; they stay on the smooth fit).
+    Measured justification (SPEEDUP.md, w=2 N=16384→65536 out-of-sample):
+    at the 5-mode Nyquist-corner bin the shrunk binwise term followed a
+    ~2.4σ calibration-run fluctuation and overshot the fresh-seed
+    validation by its full size (+2.97% vs mean(B,C)); the exact
+    counterfactual without that one entry scores 0.89% (p=0.21).  A
+    per-bin correction simply cannot be estimated from one run at <8
+    modes.  ``min_binwise_modes=0`` restores the round-4 behavior.
+
     Returns (table_values, smooth_fit, lambda_shrink, corner_mask)."""
     k = np.asarray(k_bins, np.float64)
     res = np.asarray(res, np.float64)
@@ -119,6 +130,7 @@ def fit_binwise(k_bins, counts, res, sigma, cheb_deg, corner_k=4.25):
     with np.errstate(divide="ignore"):
         lam = np.maximum(0.0, 1.0 - (sigma / np.where(blip == 0, np.inf,
                                                       blip)) ** 2)
+    lam = np.where(np.asarray(counts) >= min_binwise_modes, lam, 0.0)
     table = fit + lam * blip
     return table, fit, lam, corner
 
@@ -133,6 +145,11 @@ def main():
                     help="pk_cache npz of the exact-chain reference (seed A)")
     ap.add_argument("-o", "--out", required=True)
     ap.add_argument("--cheb-deg", type=int, default=10)
+    ap.add_argument("--min-binwise-modes", type=int, default=8,
+                    help="bins with fewer Fourier modes get no binwise "
+                         "follow (stay on the smooth fit); 0 restores the "
+                         "round-4 behavior.  Measured: <8-mode binwise "
+                         "entries chase estimator noise (SPEEDUP.md)")
     ap.add_argument("--corner-k", type=float, default=4.25,
                     help="bins above this |k| are excluded from the smooth "
                          "fit and handled binwise (near-Nyquist corner zone)")
@@ -201,7 +218,8 @@ def main():
              / np.sqrt(counts[good]) * np.sqrt(n_pair))
 
     table_good, fit, lam, corner = fit_binwise(
-        k_bins[good], counts[good], res, sigma, args.cheb_deg, args.corner_k
+        k_bins[good], counts[good], res, sigma, args.cheb_deg, args.corner_k,
+        min_binwise_modes=args.min_binwise_modes,
     )
     table = np.ones(n_bins, np.float64)
     table[good] = np.clip(table_good, 0.9, 1.1)
@@ -222,6 +240,7 @@ def main():
         "refit_cheb_deg": args.cheb_deg,
         "refit_corner_k": args.corner_k,
         "refit_corner_bins": gi[corner].tolist(),
+        "refit_min_binwise_modes": args.min_binwise_modes,
     })
     refit.save(args.out, meta=meta)
 
