@@ -311,9 +311,29 @@ def test_fit_binwise_recovers_smooth_plus_corner_anomaly():
     np.testing.assert_array_equal(corner_mask, corner)
     # smooth part recovered well away from the corner
     assert np.abs(fit[~corner] - smooth_true[~corner]).max() < 0.002
-    # corner anomaly captured binwise (shrunk toward, not onto, res)
-    assert np.all(lam[corner] > 0.9)
-    assert np.all(np.abs(table[corner] - res[corner]) < np.abs(anom) / 8)
+    # corner anomaly captured binwise at the >=8-mode corner bin (shrunk
+    # toward, not onto, res); the sub-8-mode bin is deliberately NOT
+    # followed even though this synthetic anomaly is genuine — one run at
+    # <8 modes cannot distinguish a real anomaly from estimator noise, and
+    # following it was measured net-harmful out-of-sample (SPEEDUP.md w=2
+    # N=16384 confirmation; fit_binwise min_binwise_modes default).
+    modes_corner = counts[good][corner]
+    followed = corner.copy()
+    followed[corner] = modes_corner >= 8
+    gated = corner & ~followed
+    assert followed.sum() >= 1 and gated.sum() >= 1  # both cases exercised
+    assert np.all(lam[followed] > 0.9)
+    assert np.all(
+        np.abs(table[followed] - res[followed])
+        < np.abs(anom[modes_corner >= 8]) / 8
+    )
+    assert np.all(lam[gated] == 0.0)
+    np.testing.assert_allclose(table[gated], fit[gated])
+    # min_binwise_modes=0 restores the ungated (round-4) behavior
+    _, _, lam0, _ = mod.fit_binwise(
+        k, counts[good], res, sigma, cheb_deg=10, min_binwise_modes=0
+    )
+    assert np.all(lam0[corner] > 0.9)
     # low-noise bins with sub-sigma blips keep the smooth value
     calm = (~corner) & (np.abs(res - fit) <= sigma)
     np.testing.assert_allclose(table[calm], fit[calm])
