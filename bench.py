@@ -77,6 +77,12 @@ def _n16k_confirmation(art_dir, guide_w, ckpt_md5):
             "reference_pair_distances_max_mean_pct":
                 d.get("reference_pair_distances_max_mean_pct"),
             "zero_bias_p_value": best.get("zero_bias_p_value"),
+            # Self-diagnosing supplement: where the max sits and what it is
+            # restricted to bins with >=8 Fourier modes (a few-mode corner
+            # bin driving a miss is visible from the artifact alone).
+            "max_err_vs_meanBC_ge8modes_pct":
+                best.get("max_err_vs_meanBC_ge8modes_pct"),
+            "argmax_bin": best.get("argmax_bin"),
             "within_1pct_literal": bool(best.get("certified_literal_1pct")),
             "full_battery": bool(best.get("certified_full_battery")),
             # Pre-registered decision (score_n16k_final.py docstring):
