@@ -1,10 +1,12 @@
 #!/usr/bin/env python
-"""EXACT counterfactual of the w=2 N=16384 confirmation under a corner-free
+"""EXACT counterfactual of an N=16384 confirmation under a corner-free
 refit — a DIAGNOSTIC, not a certification.
 
-The pre-registered result (artifacts/certification/n16k/w2/n16k_final.json)
-is final: a miss, driven by the refit's per-bin correction of the 5-mode
-Nyquist-corner bin 45 (SPEEDUP.md diagnosis).  Because the spectral
+The pre-registered result (artifacts/certification/n16k/w{0,2}/
+n16k_final.json) is final: a miss at the 5-mode Nyquist-corner bin 45
+(SPEEDUP.md diagnosis — at w=2 manufactured by the ungated refit's own
+binwise correction there; at w=0 the gated refit carried only the smooth
+fit's entry and the bin's own estimator draw still missed).  Because the spectral
 calibration is a fixed radial power multiplier (diffusion/calibration.py:
 P_out(k) = P_raw(k) / r(k)), the P(k) of the SAME fresh-seed validation
 samples under any alternative filter r'(k) follows exactly, with no
@@ -13,7 +15,7 @@ re-sampling:
     P_alt(k) = P_val(k) * r_refit(k) / r_alt(k)
 
 This script computes that counterfactual for r_alt = the committed refit
-with every sub-8-mode binwise entry removed (only bin 45 qualifies on the
+with every sub-8-mode table entry reset to 1 (only bin 45 qualifies on the
 64x64 grid), re-scores it with the scorer's own gates and noise model, and
 writes the result as a clearly-labeled diagnostic artifact.  It also saves
 the corner-free calibration npz itself as the recommended FORWARD-LOOKING
@@ -22,7 +24,7 @@ nothing here upgrades the pre-registered verdict).
 
 Usage:
   python scripts/n16k_counterfactual_corner.py \
-      artifacts/certification/n16k/w2 artifacts/diagnostics_r5
+      artifacts/certification/n16k/w{0,2} artifacts/diagnostics_r5
 """
 
 import argparse
@@ -120,17 +122,18 @@ def main():
 
     out = {
         "WHAT_THIS_IS": (
-            "EXACT counterfactual diagnostic of the same fresh-seed w=2 "
-            "validation samples under the corner-free refit (sub-8-mode "
-            "binwise entries removed) — the spectral filter is a fixed "
-            "deterministic radial power multiplier, so this is algebra, "
-            "not a re-run.  It does NOT amend the pre-registered verdict "
-            "in n16k_final.json (a miss); it pins the diagnosis that the "
-            "corner binwise correction alone caused it."
+            f"EXACT counterfactual diagnostic of the same fresh-seed "
+            f"w={final['guide_w']:g} validation samples under the "
+            "corner-free refit (sub-8-mode table entries reset to 1) — "
+            "the spectral filter is a fixed deterministic radial power "
+            "multiplier, so this is algebra, not a re-run.  It does NOT "
+            "amend the pre-registered verdict in n16k_final.json (a "
+            "miss); it isolates exactly what the corner entry "
+            "contributed to it."
         ),
         "checkpoint_fingerprint": final["checkpoint_fingerprint"],
         "guide_w": final["guide_w"],
-        "removed_binwise_entries": [
+        "removed_table_entries": [
             {"bin": int(i), "modes": int(counts[i]),
              "ratio_removed": float(refit.bin_ratios[i])} for i in few
         ],
@@ -147,7 +150,10 @@ def main():
         ),
     }
     os.makedirs(args.out_dir, exist_ok=True)
-    out_path = os.path.join(args.out_dir, "n16k_w2_corner_counterfactual.json")
+    out_path = os.path.join(
+        args.out_dir,
+        f"n16k_w{int(final['guide_w'])}_corner_counterfactual.json",
+    )
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
 
